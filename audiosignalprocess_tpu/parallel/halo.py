@@ -1,0 +1,64 @@
+"""Halo exchange over the time axis (SURVEY.md §2 P3).
+
+Overlap-save needs the previous shard's last taps-1 samples; STFT needs
+the next shard's first nfft-hop samples.  Both are single-hop neighbor
+shifts — ``lax.ppermute`` inside ``shard_map``, the direct ICI analog of
+ring/halo exchange (BASELINE.json:5,10).  Edge shards get zeros (cold
+start / stream end), matching the oracle's causal conventions.
+
+These functions must be called inside ``shard_map`` with ``axis_name``
+bound.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray:
+    """Prepend the left neighbor's last ``halo`` samples: (..., L) -> (..., halo+L).
+
+    Shard 0 receives zeros (causal cold start).
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (halo,), x.dtype), x], axis=-1
+        )
+    idx = lax.axis_index(axis_name)
+    tail = x[..., -halo:]
+    recv = lax.ppermute(tail, axis_name, [(i, (i + 1) % n) for i in range(n)])
+    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    return jnp.concatenate([recv, x], axis=-1)
+
+
+def halo_right(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray:
+    """Append the right neighbor's first ``halo`` samples: (..., L) -> (..., L+halo).
+
+    The last shard receives zeros (stream end).
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (halo,), x.dtype)], axis=-1
+        )
+    idx = lax.axis_index(axis_name)
+    head = x[..., :halo]
+    recv = lax.ppermute(head, axis_name, [(i, (i - 1) % n) for i in range(n)])
+    recv = jnp.where(idx == n - 1, jnp.zeros_like(recv), recv)
+    return jnp.concatenate([x, recv], axis=-1)
+
+
+def send_right_add(tail: jnp.ndarray, head: jnp.ndarray,
+                   axis_name: str = "time") -> jnp.ndarray:
+    """Overlap-add boundary fix-up: add my left neighbor's ``tail`` into my
+    ``head`` (same length).  Used by sharded ISTFT where each shard's OLA
+    spills nfft-hop samples into the next shard (SURVEY.md §2 P4)."""
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return head
+    idx = lax.axis_index(axis_name)
+    recv = lax.ppermute(tail, axis_name, [(i, (i + 1) % n) for i in range(n)])
+    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    return head + recv

@@ -1,0 +1,247 @@
+"""Sharded whole-file operators: shard_map programs over a (channel, time)
+mesh whose outputs equal the unsharded ops EXACTLY (SURVEY.md §4.3).
+
+Design (SURVEY.md §3.3, §5):
+- causal filters (FIR / overlap-save / resampler / envelope): left halo of
+  the filter history via ppermute — the streaming carry, spatialized.
+- STFT effects: right halo of nfft-hop samples for frame assembly, then an
+  overlap-add boundary fix-up sending each shard's OLA spill to its right
+  neighbor; the noise floor (a global statistic of the first frames) is
+  broadcast from time-shard 0 with a psum.
+
+All comms are single-hop neighbor ppermutes + one psum — they ride ICI on
+a pod slice and overlap with the per-shard FFT work under XLA's async
+collectives.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.effects.noise_gate import gate_mask
+from audiosignalprocess_tpu.ops import fft as fft_ops
+from audiosignalprocess_tpu.ops.fir import fir_direct
+from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+from audiosignalprocess_tpu.ops.resample import history_len, resample_poly
+from audiosignalprocess_tpu.ops.stft import frame as frame_op
+from audiosignalprocess_tpu.ops.windows import window_np
+from audiosignalprocess_tpu.parallel.halo import halo_left, halo_right, send_right_add
+
+_SPEC = P("channel", "time")
+
+
+def _smap(mesh: Mesh, fn):
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC))
+
+
+# ---------------------------------------------------------------------------
+# Causal filters: left halo == spatialized streaming carry
+# ---------------------------------------------------------------------------
+
+
+def sharded_fir(mesh: Mesh, h) -> callable:
+    """(C, N) -> (C, N) causal FIR == ops.fir.fir_direct, (channel, time) sharded."""
+    h = np.asarray(h, np.float64)
+    t = len(h)
+
+    def local(x):
+        ext = halo_left(x, t - 1, "time")
+        return fir_direct(x, h, history=ext[..., : t - 1])
+
+    return _smap(mesh, local)
+
+
+def sharded_overlap_save(mesh: Mesh, h, nfft: int,
+                         impl: str = fft_ops.DEFAULT_IMPL) -> callable:
+    """(C, N) -> (C, N) causal FIR via overlap-save with halo exchange
+    (config 4, BASELINE.json:10)."""
+    h = np.asarray(h, np.float64)
+    t = len(h)
+
+    def local(x):
+        ext = halo_left(x, t - 1, "time")
+        return overlap_save(x, h, nfft, history=ext[..., : t - 1], impl=impl)
+
+    return _smap(mesh, local)
+
+
+def sharded_resample(mesh: Mesh, up: int, down: int, h=None) -> callable:
+    """(C, N) -> (C, N*up/down) causal polyphase resample, halo'd."""
+    g = math.gcd(up, down)
+    up, down = up // g, down // g
+    if h is None:
+        h = oracle.resample_filter(up, down)
+    h = np.asarray(h, np.float64)
+    hl = history_len(len(h), up, down)
+
+    def local(x):
+        assert x.shape[-1] % down == 0, "local shard length must divide `down`"
+        ext = halo_left(x, hl, "time")
+        return resample_poly(x, up, down, h=h, zero_phase=False,
+                             history=ext[..., :hl])
+
+    return _smap(mesh, local)
+
+
+# ---------------------------------------------------------------------------
+# Sharded spectral noise gate
+# ---------------------------------------------------------------------------
+
+
+def _gate_norms(nfft: int, hop: int, window_kind: str):
+    """(head_ramp(d), tail_ramp(d), interior_const) of the whole-file WOLA norm."""
+    w2 = window_np(window_kind, nfft) ** 2
+    d = nfft - hop
+    r = nfft // hop
+    cols = np.sum(w2.reshape(r, hop), axis=0)
+    assert np.allclose(cols, cols[0]), "window/hop is not COLA for w^2"
+    const = float(cols[0])
+    head = np.zeros(d)
+    for k in range(r - 1):
+        lo = k * hop
+        seg = min(nfft, d - lo)
+        head[lo : lo + seg] += w2[:seg]
+    # tail ramp: the last d samples of the istft output — contributions of
+    # the final frames only (mirror of the head ramp for the frame set)
+    tail = np.zeros(d)
+    for k in range(r - 1):
+        hi = d - k * hop
+        tail[:hi] += w2[nfft - hi :]
+    return np.maximum(head, 1e-12), np.maximum(tail, 1e-12), const
+
+
+def gate_shard_body(
+    x: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    threshold_db: float,
+    reduction_db: float,
+    noise_frames: int,
+    window_kind: str,
+    impl: str,
+    axis_name: str = "time",
+) -> jnp.ndarray:
+    """Per-shard gate body; call inside shard_map.  Output == GateStage.full
+    restricted to this shard's region (last nfft-hop global samples zero)."""
+    dtype = x.dtype
+    d = nfft - hop
+    l = x.shape[-1]
+    assert l % hop == 0 and l >= nfft, "shard length must be >= nfft, hop-aligned"
+    n_sh = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    n_glob = l * n_sh
+    head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
+    w = jnp.asarray(window_np(window_kind, nfft), dtype)
+    ext = halo_right(x, d, axis_name)
+    frames = frame_op(ext, nfft, hop)  # (..., l/hop, nfft)
+    m = l // hop
+    starts = idx * l + hop * jnp.arange(m, dtype=jnp.int32)
+    valid = (starts <= n_glob - nfft)[:, None].astype(dtype)
+    spec = fft_ops.rfft(frames * w, impl=impl) * valid
+    mag = jnp.abs(spec).astype(dtype)
+    # global noise floor: the first noise_frames frames live on shard 0
+    floor_loc = jnp.mean(mag[..., :noise_frames, :], axis=-2, keepdims=True)
+    floor_loc = jnp.where(idx == 0, floor_loc, jnp.zeros_like(floor_loc))
+    floor = lax.psum(floor_loc, axis_name)
+    mask = gate_mask(mag, floor, threshold_db, reduction_db)
+    out_frames = fft_ops.irfft(spec * mask, nfft, impl=impl) * w
+    # OLA of m frames -> l + d samples; spill the tail to the right neighbor
+    r = nfft // hop
+    fr = out_frames.reshape(out_frames.shape[:-1] + (r, hop))
+    rows = m + r - 1
+    acc = jnp.zeros(x.shape[:-1] + (rows, hop), dtype)
+    for j in range(r):
+        acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
+    acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : l + d]
+    num = send_right_add(acc[..., l:], acc[..., :l], axis_name)
+    # whole-file WOLA norm at global positions
+    pvec = idx * l + jnp.arange(l, dtype=jnp.int32)
+    head = jnp.asarray(head_np, dtype)
+    tail = jnp.asarray(tail_np, dtype)
+    out_len = n_glob - d  # istft output length
+    hsel = head[jnp.clip(pvec, 0, d - 1)]
+    tsel = tail[jnp.clip(pvec - (out_len - d), 0, d - 1)]
+    norm = jnp.where(
+        pvec < d, hsel,
+        jnp.where(pvec < out_len - d, const, jnp.where(pvec < out_len, tsel, 1.0)),
+    )
+    return num / norm
+
+
+def sharded_noise_gate(
+    mesh: Mesh,
+    nfft: int = 1024,
+    hop: int = 256,
+    threshold_db: float = 6.0,
+    reduction_db: float = 60.0,
+    noise_frames: int = 8,
+    window_kind: str = "hann",
+    impl: str = fft_ops.DEFAULT_IMPL,
+) -> callable:
+    """(C, N) -> (C, N) spectral noise gate == GateStage.full, channel+time
+    sharded (configs 3/5)."""
+
+    def local(x):
+        return gate_shard_body(x, nfft, hop, threshold_db, reduction_db,
+                               noise_frames, window_kind, impl)
+
+    return _smap(mesh, local)
+
+
+# ---------------------------------------------------------------------------
+# Sharded whole-file chain (config 5 spatial form)
+# ---------------------------------------------------------------------------
+
+
+def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndarray:
+    """Apply a pipeline.Chain to one (channel, time) shard with halos.
+    Output == chain.full(x) restricted to this shard."""
+    from audiosignalprocess_tpu.pipeline import FIRStage, GateStage, ResampleStage
+
+    for s in chain.stages:
+        if isinstance(s, FIRStage):
+            t = len(s.h)
+            src = jnp.abs(x) if s.pre == "abs" else x
+            ext = halo_left(src, t - 1, axis_name)
+            hist = ext[..., : t - 1]
+            if s.nfft is not None:
+                assert s.pre is None, "abs-pre + overlap-save not supported"
+                x = overlap_save(x, s.h, s.nfft, history=hist, impl=s.impl)
+            else:
+                x = fir_direct(src, s.h, history=hist)
+            if s.post_scale != 1.0:
+                x = x * s.post_scale
+        elif isinstance(s, ResampleStage):
+            hl = history_len(len(s.h), s.up, s.down)
+            ext = halo_left(x, hl, axis_name)
+            x = resample_poly(x, s.up, s.down, h=s.h, zero_phase=False,
+                              history=ext[..., :hl])
+        elif isinstance(s, GateStage):
+            x = gate_shard_body(x, s.nfft, s.hop, s.threshold_db,
+                                s.reduction_db, s.noise_frames,
+                                s.window_kind, s.impl, axis_name)
+        else:
+            raise NotImplementedError(f"sharded chain stage: {type(s).__name__}")
+    return x
+
+
+def sharded_chain(mesh: Mesh, chain) -> callable:
+    """Sharded whole-file execution of a pipeline.Chain == chain.full(x)."""
+
+    def local(x):
+        return chain_shard_body(chain, x)
+
+    return _smap(mesh, local)
+
+
+def channel_sharding(mesh: Mesh) -> NamedSharding:
+    """Pure channel sharding (config 3): P('channel', None)."""
+    return NamedSharding(mesh, P("channel", None))

@@ -1,0 +1,355 @@
+"""Composable processing chain + streaming block driver (SURVEY.md §3.4).
+
+A ``Chain`` of stages supports two execution modes with EXACTLY matching
+output streams:
+
+- ``full(x)``   — whole-signal, one jit region, fully batched.
+- ``stream``    — block-by-block with an explicit carry pytree (filter
+  tails, OLA tails, resampler history, spectral FIFOs), the streaming
+  structure of the reference's block loop (BASELINE.json:11).
+
+Latency semantics: each streaming stage emits the stage's whole-signal
+output stream right-shifted by ``latency`` zeros (causal stages: 0; STFT
+stages: (nfft-hop) + noise_frames*hop).  ``Chain.build()`` propagates the
+cumulative latency through rate changes and configures STFT stages to
+skip latency-padding frames, so
+
+    concat(stream blocks)[L:] == full(x)[: emitted-L]   (bitwise, L=chain latency)
+
+The carry pytree is checkpointable (utils/checkpoint.py) — streaming can
+resume from any block index.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.effects.envelope import envelope as envelope_op
+from audiosignalprocess_tpu.effects.noise_gate import gate_mask, noise_gate
+from audiosignalprocess_tpu.ops import fft as fft_ops
+from audiosignalprocess_tpu.ops.fir import fir_direct
+from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+from audiosignalprocess_tpu.ops.resample import history_len, resample_poly
+from audiosignalprocess_tpu.ops.stft import frame as frame_op
+from audiosignalprocess_tpu.ops.stft import istft, stft
+from audiosignalprocess_tpu.ops.windows import window_np
+
+
+class Stage:
+    """Streaming stage protocol.  Latency is in output samples."""
+
+    latency: int = 0
+
+    def configure(self, input_latency: int) -> int:
+        """Receive cumulative upstream latency (input samples of zeros
+        prefixed to the true stream); return this stage's output latency."""
+        self.input_latency = input_latency
+        return input_latency + self.latency
+
+    def out_block(self, b: int) -> int:
+        return b
+
+    def full(self, x: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def init_state(self, batch: tuple, block: int, dtype):
+        return ()
+
+    def step(self, state, x):
+        raise NotImplementedError
+
+
+@dataclass
+class FIRStage(Stage):
+    """Causal FIR (direct or overlap-save when nfft given).  Latency 0."""
+
+    h: np.ndarray
+    nfft: int | None = None
+    impl: str = fft_ops.DEFAULT_IMPL
+    pre: str | None = None  # "abs" for envelope-style rectification
+    post_scale: float = 1.0
+
+    def _apply(self, x, history):
+        if self.pre == "abs":
+            x = jnp.abs(x)
+        if self.nfft is not None:
+            y = overlap_save(x, self.h, self.nfft, history=history, impl=self.impl)
+        else:
+            y = fir_direct(x, self.h, history=history)
+        return y * self.post_scale if self.post_scale != 1.0 else y
+
+    def full(self, x):
+        t = len(self.h)
+        return self._apply(x, jnp.zeros(x.shape[:-1] + (t - 1,), x.dtype))
+
+    def init_state(self, batch, block, dtype):
+        return jnp.zeros(batch + (len(self.h) - 1,), dtype)
+
+    def step(self, state, x):
+        y = self._apply(x, state)
+        xin = jnp.abs(x) if self.pre == "abs" else x
+        tail = jnp.concatenate([state, xin], axis=-1)[..., -(len(self.h) - 1) :]
+        return tail, y
+
+
+def EnvelopeStage(h) -> FIRStage:
+    """Envelope follower as a stage: |x| -> FIR lowpass -> *pi/2."""
+    return FIRStage(h=np.asarray(h), pre="abs", post_scale=math.pi / 2.0)
+
+
+@dataclass
+class ResampleStage(Stage):
+    """Causal polyphase rational resampler.  Latency 0 (group delay is
+    inherent latency of the causal filter, not stream misalignment).
+    Blocks and upstream latency must be multiples of ``down``."""
+
+    up: int
+    down: int
+    h: np.ndarray | None = None
+
+    def __post_init__(self):
+        g = math.gcd(self.up, self.down)
+        self.up //= g
+        self.down //= g
+        if self.h is None:
+            self.h = oracle.resample_filter(self.up, self.down)
+        self.h = np.asarray(self.h, dtype=np.float64)
+
+    def configure(self, input_latency: int) -> int:
+        assert input_latency % self.down == 0, (
+            f"upstream latency {input_latency} not a multiple of down={self.down}"
+        )
+        self.input_latency = input_latency
+        return input_latency * self.up // self.down
+
+    def out_block(self, b):
+        assert b % self.down == 0, f"block {b} not a multiple of down={self.down}"
+        return b * self.up // self.down
+
+    def full(self, x):
+        return resample_poly(x, self.up, self.down, h=self.h, zero_phase=False)
+
+    def init_state(self, batch, block, dtype):
+        return jnp.zeros(batch + (history_len(len(self.h), self.up, self.down),), dtype)
+
+    def step(self, state, x):
+        y = resample_poly(x, self.up, self.down, h=self.h, zero_phase=False,
+                          history=state)
+        hn = state.shape[-1]
+        tail = jnp.concatenate([state, x], axis=-1)[..., -hn:] if hn else state
+        return tail, y
+
+
+@dataclass
+class GateStage(Stage):
+    """Streaming spectral noise gate (STFT -> mask -> WOLA ISTFT).
+
+    Streaming design (see module docstring of ops/stft.py for framing):
+    carries an input tail of nfft-hop samples, a spectral FIFO of
+    ``noise_frames`` frames (so every frame is masked with the final noise
+    floor, exactly as the whole-file gate), and the un-emitted OLA tail.
+    Latency = (nfft-hop) + noise_frames*hop output samples.
+    """
+
+    nfft: int = 1024
+    hop: int = 256
+    threshold_db: float = 6.0
+    reduction_db: float = 60.0
+    noise_frames: int = 8
+    window_kind: str = "hann"
+    impl: str = fft_ops.DEFAULT_IMPL
+    input_latency: int = 0
+
+    def __post_init__(self):
+        assert self.nfft % self.hop == 0
+        self.latency = (self.nfft - self.hop) + self.noise_frames * self.hop
+
+    def configure(self, input_latency: int) -> int:
+        assert input_latency % self.hop == 0, (
+            f"upstream latency {input_latency} not a multiple of hop={self.hop}"
+        )
+        self.input_latency = input_latency
+        return input_latency + self.latency
+
+    def full(self, x):
+        """Whole-signal gate; output zero-padded back to input length so
+        streaming and full shapes agree (gate output is nfft-hop shorter)."""
+        y = noise_gate(
+            x, self.nfft, self.hop, self.threshold_db, self.reduction_db,
+            self.noise_frames, 0.0, self.window_kind, self.impl,
+        )
+        pad = x.shape[-1] - y.shape[-1]
+        return jnp.concatenate([y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
+
+    # -- streaming ---------------------------------------------------------
+
+    def _norm_const(self) -> float:
+        """Interior WOLA norm (COLA constant: sum_k w^2[n-k*hop])."""
+        w2 = window_np(self.window_kind, self.nfft) ** 2
+        r = self.nfft // self.hop
+        cols = np.sum(w2.reshape(r, self.hop), axis=0)
+        assert np.allclose(cols, cols[0]), "window/hop is not COLA for w^2"
+        return float(cols[0])
+
+    def _head_norm(self) -> np.ndarray:
+        """Per-sample WOLA norm over the first nfft-hop output samples
+        (the ramp-in region of the whole-file istft)."""
+        w2 = window_np(self.window_kind, self.nfft) ** 2
+        d = self.nfft - self.hop
+        norm = np.zeros(d)
+        for k in range(d // self.hop + 1):
+            lo = k * self.hop
+            if lo >= d:
+                break
+            seg = min(self.nfft, d - lo)
+            norm[lo : lo + seg] += w2[:seg]
+        return np.maximum(norm, 1e-12)
+
+    def init_state(self, batch, block, dtype):
+        assert block % self.hop == 0 and block >= self.hop
+        d = self.nfft - self.hop
+        nbins = self.nfft // 2 + 1
+        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        return dict(
+            in_tail=jnp.zeros(batch + (d,), dtype),
+            fifo=jnp.zeros(batch + (self.noise_frames, nbins), cdt),
+            floor_sum=jnp.zeros(batch + (1, nbins), dtype),
+            floor_n=jnp.zeros((), jnp.int32),
+            ola_tail=jnp.zeros(batch + (d,), dtype),
+            pos=jnp.zeros((), jnp.int32),  # stream position of block start
+        )
+
+    def step(self, state, x):
+        b = x.shape[-1]
+        m = b // self.hop
+        d = self.nfft - self.hop
+        r = self.nfft // self.hop
+        dtype = x.dtype
+        w = jnp.asarray(window_np(self.window_kind, self.nfft), dtype)
+        ext = jnp.concatenate([state["in_tail"], x], axis=-1)  # (..., b + d)
+        frames = frame_op(ext, self.nfft, self.hop)  # (..., m, nfft)
+        # stream-coordinate start of each new frame: pos - d + j*hop.
+        # Validity is batch-independent (depends only on position).
+        starts = state["pos"] - d + self.hop * jnp.arange(m, dtype=jnp.int32)
+        # frames overlapping the latency padding carry no signal -> zero them
+        valid_f = starts >= self.input_latency  # (m,)
+        spec = fft_ops.rfft(frames * w, impl=self.impl) * valid_f[:, None].astype(dtype)
+        # noise floor: accumulate the first noise_frames valid frames
+        mag = jnp.abs(spec).astype(dtype)
+        take = jnp.logical_and(
+            valid_f,
+            state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32)) <= self.noise_frames,
+        )  # (m,)
+        floor_sum = state["floor_sum"] + jnp.sum(
+            mag * take[:, None].astype(dtype), axis=-2, keepdims=True
+        )
+        floor_n = state["floor_n"] + jnp.sum(take.astype(jnp.int32))
+        # FIFO of depth noise_frames: pop oldest m, push m new.  Any frame
+        # popped before the floor is final is a zero frame, so masking it
+        # with a provisional floor is exact.
+        buf = jnp.concatenate([state["fifo"], spec], axis=-2)
+        popped = buf[..., :m, :]
+        fifo = buf[..., m:, :]
+        floor = floor_sum / self.noise_frames
+        mask = gate_mask(jnp.abs(popped).astype(dtype), floor,
+                         self.threshold_db, self.reduction_db)
+        out_frames = fft_ops.irfft(popped * mask, self.nfft, impl=self.impl) * w
+        # OLA of popped frames into a (b + d) accumulator
+        fr = out_frames.reshape(out_frames.shape[:-1] + (r, self.hop))
+        rows = m + r - 1
+        acc = jnp.zeros(x.shape[:-1] + (rows, self.hop), dtype)
+        for j in range(r):
+            acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
+        acc = acc.reshape(x.shape[:-1] + (rows * self.hop,))[..., : b + d]
+        acc = acc.at[..., :d].add(state["ola_tail"])
+        emit_num = acc[..., :b]
+        ola_tail = acc[..., b:]
+        # normalization: emitted samples are stream positions
+        # [pos - latency, pos - latency + b); output position rel. true
+        # stream start = p - input_latency; ramp for [0, d), const after.
+        p0 = state["pos"] - self.latency - self.input_latency
+        pvec = p0 + jnp.arange(b, dtype=jnp.int32)
+        head = jnp.asarray(self._head_norm(), dtype)
+        const = jnp.asarray(self._norm_const(), dtype)
+        idx = jnp.clip(pvec, 0, d - 1)
+        norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+        y = emit_num / norm
+        new_state = dict(
+            in_tail=ext[..., -d:],
+            fifo=fifo,
+            floor_sum=floor_sum,
+            floor_n=floor_n,
+            ola_tail=ola_tail,
+            pos=state["pos"] + b,
+        )
+        return new_state, y.astype(dtype)
+
+
+@dataclass
+class Chain:
+    """Sequential stage composition with whole-file and streaming modes."""
+
+    stages: list = field(default_factory=list)
+
+    def build(self) -> int:
+        """Propagate latencies; returns total chain latency (output samples)."""
+        lat = 0
+        for s in self.stages:
+            lat = s.configure(lat)
+        self.latency = lat
+        return lat
+
+    def out_block(self, b: int) -> int:
+        for s in self.stages:
+            b = s.out_block(b)
+        return b
+
+    def full(self, x: jnp.ndarray) -> jnp.ndarray:
+        for s in self.stages:
+            x = s.full(x)
+        return x
+
+    def init_state(self, batch: tuple, block: int, dtype=jnp.float32):
+        self.build()
+        states = []
+        b = block
+        for s in self.stages:
+            states.append(s.init_state(batch, b, dtype))
+            b = s.out_block(b)
+        return states
+
+    def step(self, states, x):
+        new_states = []
+        for s, st in zip(self.stages, states):
+            st, x = s.step(st, x)
+            new_states.append(st)
+        return new_states, x
+
+    def stream(self, x: jnp.ndarray, block: int):
+        """Run the whole signal through the block streamer with lax.scan.
+
+        Returns the concatenated emitted stream (len(x) mapped through rate
+        changes).  Identity: emitted[L:] == full(x)[:emitted_len - L].
+        """
+        n = x.shape[-1]
+        assert n % block == 0, "stream length must be a multiple of the block"
+        nblocks = n // block
+        states = self.init_state(x.shape[:-1], block, x.dtype)
+        blocks = jnp.moveaxis(
+            x.reshape(x.shape[:-1] + (nblocks, block)), -2, 0
+        )  # (nblocks, ..., block)
+
+        def body(st, xb):
+            st, y = self.step(st, xb)
+            return st, y
+
+        _, ys = jax.lax.scan(body, states, blocks)
+        return jnp.moveaxis(ys, 0, -2).reshape(
+            x.shape[:-1] + (nblocks * self.out_block(block),)
+        )
