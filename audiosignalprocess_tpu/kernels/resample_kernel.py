@@ -1,0 +1,185 @@
+"""Pallas polyphase-resampler MAC kernel (SURVEY.md §2 row 9;
+BASELINE.json:5 mandates Pallas for the polyphase MAC inner loops).
+
+TPU-native formulation: instead of the C per-phase scalar MAC loop, the
+rational resampler is restructured as ONE dense matmul per output tile —
+a zero-gather mapping onto the MXU:
+
+With g=gcd reduced (up, down), output j = up*t + s (t = cycle, s = slot):
+    y[up*t + s] = sum_k h[p_s + up*k] * x[down*t + c_s - k]
+where c_s = (s*down + delay) // up, p_s = (s*down + delay) mod up.
+All input samples touched by cycle t lie in a window of R*down
+consecutive samples starting at down*t + base (base, R static).  Build
+V[t] = that window (pure reshape+static-slice+concat of the down-aligned
+view — NO gathers), and a static phase matrix M[s, o] with
+M[s, (c_s - k) - base] = h[p_s + up*k].  Then
+
+    Y[t, s] = sum_o V[t, o] * M[s, o]      (MXU matmul)
+
+The matmul does R*down/nk more FLOPs than the scalar MAC loop, but the op
+is HBM-bound and the MXU has orders of magnitude of FLOP headroom — this
+is the classic TPU trade (dense regular compute beats sparse gather).
+Per-tile windows overlap by R-1 rows, so the input stays in HBM and each
+grid step DMAs its exact window (double-buffered).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+
+
+def _interpret() -> bool:
+    return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
+        jax.default_backend() != "tpu"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _phase_matrix(h_key, up: int, down: int, delay: int):
+    """Static (M, base, R): M (up, R*down) float64; window = x[down*t + base + i]."""
+    h = np.asarray(h_key, dtype=np.float64)
+    t = len(h)
+    nk = -(-t // up)
+    s = np.arange(up)
+    c = (s * down + delay) // up
+    p = (s * down + delay) % up
+    omin = int(c.min()) - (nk - 1)
+    omax = int(c.max())
+    base = (omin // down) * down  # floor-align (handles negative omin)
+    r = -(-(omax - base + 1) // down)
+    m = np.zeros((up, r * down))
+    for si in range(up):
+        for k in range(nk):
+            tap = p[si] + up * k
+            if tap < t:
+                m[si, (c[si] - k) - base] = h[tap]
+    return m, base, r
+
+
+def _resample_kernel(tcyc, r, down, up, nt, x_hbm, m_ref, o_ref, win, sem):
+    """Grid (batch_tiles, cycle_tiles).  win: (2, tb, (tcyc+r-1)*down)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tb = o_ref.shape[0]
+    wlen = (tcyc + r - 1) * down
+
+    def fetch(slot, jj):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * tcyc * down, wlen)],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        fetch(0, 0).start()
+
+    slot = j % 2
+
+    @pl.when(j + 1 < nt)
+    def _():
+        fetch((j + 1) % 2, j + 1).start()
+
+    fetch(slot, j).wait()
+    w2 = win[slot].reshape(tb, tcyc + r - 1, down)
+    v = jnp.concatenate([w2[:, q : q + tcyc, :] for q in range(r)], axis=-1)
+    y = jax.lax.dot_general(
+        v, m_ref[:],
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=o_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (tb, tcyc, up)
+    o_ref[:] = y.reshape(tb, tcyc * up)
+
+
+def resample_mac(
+    x: jnp.ndarray,
+    up: int,
+    down: int,
+    h=None,
+    zero_phase: bool = True,
+    history: jnp.ndarray | None = None,
+    cycle_tile: int = 256,
+    batch_tile: int = 8,
+) -> jnp.ndarray:
+    """Rational resample via the Pallas phase-matrix kernel.
+
+    Same semantics as ops.resample.resample_poly (output ceil(n*up/down);
+    ``history`` for causal streaming continuation).
+    """
+    g = gcd(up, down)
+    up, down = up // g, down // g
+    x = jnp.asarray(x)
+    if up == 1 and down == 1:
+        return x
+    if h is None:
+        h = oracle.resample_filter(up, down)
+    h = np.asarray(h, dtype=np.float64)
+    batch = x.shape[:-1]
+    xf = x.reshape((-1, x.shape[-1]))
+    b = xf.shape[0]
+
+    if history is not None:
+        assert not zero_phase, "streaming resample must be causal"
+        hist = jnp.asarray(history).reshape((b, -1)).astype(x.dtype)
+        hn = hist.shape[-1]
+        assert hn % down == 0 and x.shape[-1] % down == 0
+        skip = hn * up // down
+        nout = x.shape[-1] * up // down
+        xf = jnp.concatenate([hist, xf], axis=-1)
+    else:
+        skip = 0
+        nout = -(-x.shape[-1] * up // down)
+
+    n = xf.shape[-1]
+    delay = (len(h) - 1) // 2 if zero_phase else 0
+    m_np, base, r = _phase_matrix(tuple(h.tolist()), up, down, delay)
+
+    ncyc = -(-(skip + nout) // up)  # total output cycles
+    tcyc = int(min(cycle_tile, max(8, ncyc)))
+    ncp = -(-ncyc // tcyc) * tcyc  # padded cycles
+    # window for cycle t: xp_idx = down*t + i, i < (tcyc+r-1)*down, where
+    # xp_idx 0 == x index base  ->  left pad = -base (>=0 unless base>0)
+    lpad = max(0, -base)
+    shift = base + lpad  # >= 0: samples of x to skip at xp start
+    need = down * (ncp - 1) + (tcyc + r - 1) * down  # generous upper bound
+    rpad = max(0, need + shift - lpad - n + 1)
+    xp = jnp.concatenate(
+        [jnp.zeros((b, lpad), x.dtype), xf, jnp.zeros((b, rpad), x.dtype)], axis=-1
+    )
+    if shift:
+        xp = xp[:, shift:]
+    tb = int(min(batch_tile, b))
+    bp = -(-b // tb) * tb
+    if bp != b:
+        xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
+    m = jnp.asarray(m_np, x.dtype)
+    nt = ncp // tcyc
+    grid = (bp // tb, nt)
+    y = pl.pallas_call(
+        functools.partial(_resample_kernel, tcyc, r, down, up, nt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(m.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, tcyc * up), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, ncp * up), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, (tcyc + r - 1) * down), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(xp, m)
+    return y[:b, skip : skip + nout].reshape(batch + (nout,))

@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -162,17 +163,25 @@ def _fft_matmul_planar(
     xi = xi.reshape(batch + (n1, n2))
 
     def cm_left(mr, mi, ar, ai):  # (mr+i mi) @ (ar+i ai), contract a-axis
-        rr = jnp.einsum("ca,...ab->...cb", mr, ar, preferred_element_type=rdtype)
-        ri = jnp.einsum("ca,...ab->...cb", mr, ai, preferred_element_type=rdtype)
-        ir = jnp.einsum("ca,...ab->...cb", mi, ar, preferred_element_type=rdtype)
-        ii = jnp.einsum("ca,...ab->...cb", mi, ai, preferred_element_type=rdtype)
+        rr = jnp.einsum("ca,...ab->...cb", mr, ar, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ri = jnp.einsum("ca,...ab->...cb", mr, ai, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ir = jnp.einsum("ca,...ab->...cb", mi, ar, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ii = jnp.einsum("ca,...ab->...cb", mi, ai, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
         return rr - ii, ri + ir
 
     def cm_right(ar, ai, mr, mi):  # (ar+i ai) @ (mr+i mi), contract b-axis
-        rr = jnp.einsum("...cb,bd->...cd", ar, mr, preferred_element_type=rdtype)
-        ri = jnp.einsum("...cb,bd->...cd", ar, mi, preferred_element_type=rdtype)
-        ir = jnp.einsum("...cb,bd->...cd", ai, mr, preferred_element_type=rdtype)
-        ii = jnp.einsum("...cb,bd->...cd", ai, mi, preferred_element_type=rdtype)
+        rr = jnp.einsum("...cb,bd->...cd", ar, mr, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ri = jnp.einsum("...cb,bd->...cd", ar, mi, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ir = jnp.einsum("...cb,bd->...cd", ai, mr, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
+        ii = jnp.einsum("...cb,bd->...cd", ai, mi, preferred_element_type=rdtype,
+                         precision=jax.lax.Precision.HIGHEST)
         return rr - ii, ri + ir
 
     yr, yi = cm_left(f1r, f1i, xr, xi)
@@ -193,7 +202,25 @@ def _fft_matmul(x: jnp.ndarray, sign: float) -> jnp.ndarray:
 # Public API
 # ---------------------------------------------------------------------------
 
-_IMPLS = {"radix2": _fft_radix2, "splitradix": _fft_splitradix, "matmul": _fft_matmul}
+def _fft_pallas(x, sign):
+    from audiosignalprocess_tpu.kernels import fft_kernel
+
+    return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_fourstep)
+
+
+def _fft_pallas_r2(x, sign):
+    from audiosignalprocess_tpu.kernels import fft_kernel
+
+    return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_radix2_stages)
+
+
+_IMPLS = {
+    "radix2": _fft_radix2,
+    "splitradix": _fft_splitradix,
+    "matmul": _fft_matmul,
+    "pallas": _fft_pallas,        # four-step MXU Pallas kernel (perf path)
+    "pallas_r2": _fft_pallas_r2,  # radix-2 butterfly-stage Pallas kernel
+}
 
 
 def fft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:

@@ -46,5 +46,6 @@ def fir_direct(x: jnp.ndarray, h, history: jnp.ndarray | None = None) -> jnp.nda
     y = lax.conv_general_dilated(
         xf, rhs, window_strides=(1,), padding=[pad],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,
     )
     return y.reshape(batch + (n,))

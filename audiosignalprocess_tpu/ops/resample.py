@@ -92,6 +92,7 @@ def resample_poly(
         padding=[(pad_lo, pad_hi)],
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,
     )
     y = y.reshape(batch + (y.shape[-1],))
     return y[..., skip : skip + nout]

@@ -23,8 +23,13 @@ def initialize(
     """Initialize the multi-host runtime (DCN control plane).
 
     No-ops on a single process.  On TPU pods with standard env vars, all
-    arguments may be None (auto-detection).
+    arguments may be None (auto-detection).  ASP_FORCE_PLATFORM overrides
+    the backend (e.g. "cpu" for simulated multi-host runs) even when an
+    accelerator plugin pre-registered itself.
     """
+    plat = os.environ.get("ASP_FORCE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if num_processes is not None and num_processes <= 1:
         log.info("single process; skipping jax.distributed")
         return

@@ -161,7 +161,9 @@ def gate_shard_body(
     for j in range(r):
         acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
     acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : l + d]
-    num = send_right_add(acc[..., l:], acc[..., :l], axis_name)
+    # spill the (d)-sample OLA tail into the right neighbor's first d samples
+    num_head = send_right_add(acc[..., l : l + d], acc[..., :d], axis_name)
+    num = jnp.concatenate([num_head, acc[..., d:l]], axis=-1)
     # whole-file WOLA norm at global positions
     pvec = idx * l + jnp.arange(l, dtype=jnp.int32)
     head = jnp.asarray(head_np, dtype)

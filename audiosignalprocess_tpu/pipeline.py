@@ -249,7 +249,7 @@ class GateStage(Stage):
         floor_sum = state["floor_sum"] + jnp.sum(
             mag * take[:, None].astype(dtype), axis=-2, keepdims=True
         )
-        floor_n = state["floor_n"] + jnp.sum(take.astype(jnp.int32))
+        floor_n = (state["floor_n"] + jnp.sum(take.astype(jnp.int32))).astype(jnp.int32)
         # FIFO of depth noise_frames: pop oldest m, push m new.  Any frame
         # popped before the floor is final is a zero frame, so masking it
         # with a provisional floor is exact.
@@ -286,7 +286,7 @@ class GateStage(Stage):
             floor_sum=floor_sum,
             floor_n=floor_n,
             ola_tail=ola_tail,
-            pos=state["pos"] + b,
+            pos=(state["pos"] + b).astype(jnp.int32),
         )
         return new_state, y.astype(dtype)
 

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""FFT roofline harness (BASELINE.json:2,5): measured GFLOP/s and achieved
+HBM bandwidth vs the per-chip speed-of-light bound, for each FFT impl.
+
+Batched small-N FFTs are memory-bound: speed-of-light = move each complex
+element in and out of HBM once (utils/metrics.py).  The ≥80%-of-roofline
+target applies to the performance path (impl="matmul"/"pallas").
+
+Usage: python benchmarks/roofline.py [--impls matmul,pallas] [--json]
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiosignalprocess_tpu.ops import fft as fft_ops
+from audiosignalprocess_tpu.utils.metrics import detect_chip, fft_roofline_bytes
+
+
+def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
+    rng = np.random.default_rng(0)
+    if complex_in:
+        x = jnp.asarray(
+            (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n)))
+            .astype(np.complex64)
+        )
+        fn = jax.jit(lambda v: fft_ops.fft(v, impl=impl))
+        byts = fft_roofline_bytes(batch, n, 4, complex_io=True)
+    else:
+        x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        fn = jax.jit(lambda v: fft_ops.rfft(v, impl=impl))
+        # real in (4B) + complex half-spectrum out (~4B/sample again)
+        byts = batch * n * 4 + batch * (n // 2 + 1) * 8
+    jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    flops = batch * fft_ops.fft_flops(n)
+    return dt, flops / dt / 1e9, byts / dt / 1e9
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--impls", default="matmul,pallas,pallas_r2,radix2,xla")
+    p.add_argument("--batch", type=int, default=4096)
+    p.add_argument("--sizes", default="256,1024,4096")
+    p.add_argument("--rfft", action="store_true")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+    chip = detect_chip()
+    rows = []
+    for impl in args.impls.split(","):
+        for n in map(int, args.sizes.split(",")):
+            dt, gflops, gbps = bench_fft(impl, args.batch, n,
+                                         complex_in=not args.rfft)
+            frac = gbps / chip.hbm_gbps
+            rows.append(dict(impl=impl, n=n, batch=args.batch,
+                             ms=round(dt * 1e3, 3), gflops=round(gflops, 1),
+                             hbm_gbps=round(gbps, 1),
+                             roofline_frac=round(frac, 3)))
+    if args.json:
+        for r in rows:
+            print(json.dumps(r))
+    else:
+        hdr = f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} {'SoL%':>6}"
+        print(f"chip: {chip.name} (HBM {chip.hbm_gbps} GB/s)")
+        print(hdr)
+        for r in rows:
+            print(f"{r['impl']:>10} {r['n']:>6} {r['ms']:>8} {r['gflops']:>9} "
+                  f"{r['hbm_gbps']:>8} {100*r['roofline_frac']:>5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Sharding tests on 8 virtual CPU devices (SURVEY.md §4.3): every
+shard_map path asserts sharded == unsharded output exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.ops.fir import fir_direct
+from audiosignalprocess_tpu.ops.resample import resample_poly
+from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
+from audiosignalprocess_tpu.parallel.sharded import (
+    sharded_chain, sharded_fir, sharded_noise_gate, sharded_overlap_save,
+    sharded_resample,
+)
+from audiosignalprocess_tpu.pipeline import Chain, FIRStage, GateStage, ResampleStage
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(17)
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 (virtual) devices"
+)
+
+MESHES = ((1, 8), (8, 1), (2, 4), (4, 2))
+
+
+class TestShardedFIR:
+    @pytest.mark.parametrize("ch,tm", MESHES)
+    def test_fir_matches_unsharded(self, rng, ch, tm):
+        mesh = make_mesh(channel=ch, time=tm)
+        h = oracle.design_fir(64, 0.25)
+        x = rng.standard_normal((8, 4096))
+        fn = sharded_fir(mesh, h)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        ref = np.asarray(fir_direct(x, h))
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("ch,tm", ((2, 4), (1, 8)))
+    def test_overlap_save_4096taps(self, rng, ch, tm):
+        """Config 4 structure: long FIR with halo exchange (BASELINE.json:10)."""
+        mesh = make_mesh(channel=ch, time=tm)
+        h = oracle.design_fir(4096, 0.1)
+        x = rng.standard_normal((8, 8 * 8192))
+        fn = sharded_overlap_save(mesh, h, nfft=16384)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        ref = np.stack([oracle.fir_direct(x[i], h) for i in range(8)])
+        np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+class TestShardedResample:
+    @pytest.mark.parametrize("up,down", ((160, 147), (2, 1), (3, 4)))
+    def test_matches_unsharded(self, rng, up, down):
+        mesh = make_mesh(channel=2, time=4)
+        n = down * 128 * 4  # divisible by down per shard
+        x = rng.standard_normal((8, n))
+        fn = sharded_resample(mesh, up, down)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        ref = np.asarray(resample_poly(x, up, down, zero_phase=False))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+class TestShardedGate:
+    def _mk(self, rng, c, n):
+        fs = 48000
+        t = np.arange(n) / fs
+        x = 0.01 * rng.standard_normal((c, n))
+        x += np.where((t > 0.2) & (t < 0.5), np.sin(2 * np.pi * 440.0 * t), 0.0)
+        return x
+
+    @pytest.mark.parametrize("ch,tm", ((8, 1), (2, 4), (1, 8)))
+    def test_matches_full(self, rng, ch, tm):
+        """Config 3: channel-sharded STFT noise gate (BASELINE.json:9)."""
+        mesh = make_mesh(channel=ch, time=tm)
+        n = 8192 * 8
+        x = self._mk(rng, 8, n)
+        g = GateStage()
+        chain = Chain([g])
+        chain.build()
+        ref = np.asarray(chain.full(jnp.asarray(x)))
+        fn = sharded_noise_gate(mesh)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
+
+
+class TestShardedChain:
+    def test_chain_matches_full(self, rng):
+        """Config 5 spatial form: resample -> FIR -> gate, (2,4) mesh."""
+        mesh = make_mesh(channel=2, time=4)
+        n = 147 * 512  # per-shard n/4 divisible by 147; after resample by hop
+        x = rng.standard_normal((8, n))
+        chain = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=oracle.design_fir(64, 0.3), nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+        ])
+        chain.build()
+        ref = np.asarray(chain.full(jnp.asarray(x)))
+        fn = sharded_chain(mesh, chain)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
+
+
+class TestHaloPrimitives:
+    def test_halo_left_right(self, rng):
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from audiosignalprocess_tpu.parallel.halo import halo_left, halo_right
+
+        mesh = make_mesh(channel=1, time=8)
+        x = np.arange(64, dtype=np.float32).reshape(1, 64)
+
+        fn = jax.jit(
+            jax.shard_map(
+                lambda v: halo_left(v, 2, "time"),
+                mesh=mesh, in_specs=(P("channel", "time"),),
+                out_specs=P("channel", "time"),
+            )
+        )
+        out = np.asarray(fn(shard_audio(x, mesh)))  # (1, 8*(2+8))
+        shards = out.reshape(8, 10)
+        np.testing.assert_array_equal(shards[0, :2], [0, 0])
+        for s in range(1, 8):
+            np.testing.assert_array_equal(shards[s, :2], x[0, s * 8 - 2 : s * 8])
+            np.testing.assert_array_equal(shards[s, 2:], x[0, s * 8 : (s + 1) * 8])
+
+        fn_r = jax.jit(
+            jax.shard_map(
+                lambda v: halo_right(v, 3, "time"),
+                mesh=mesh, in_specs=(P("channel", "time"),),
+                out_specs=P("channel", "time"),
+            )
+        )
+        out_r = np.asarray(fn_r(shard_audio(x, mesh))).reshape(8, 11)
+        np.testing.assert_array_equal(out_r[7, 8:], [0, 0, 0])
+        for s in range(7):
+            np.testing.assert_array_equal(out_r[s, 8:], x[0, (s + 1) * 8 : (s + 1) * 8 + 3])

@@ -1,0 +1,98 @@
+"""Pallas FFT kernel tests (interpret mode on CPU, SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.kernels import fft_kernel
+from audiosignalprocess_tpu.ops import fft as fft_ops
+
+CORES = (fft_kernel.fft_fourstep, fft_kernel.fft_radix2_stages)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(23)
+
+
+class TestPlanarCores:
+    @pytest.mark.parametrize("core", CORES, ids=("fourstep", "radix2"))
+    @pytest.mark.parametrize("n", (4, 64, 512, 1024, 4096))
+    def test_forward_f32(self, rng, core, n):
+        if core is fft_kernel.fft_radix2_stages and n < 4:
+            pytest.skip("tiny")
+        b = 24
+        xr = rng.standard_normal((b, n)).astype(np.float32)
+        xi = rng.standard_normal((b, n)).astype(np.float32)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        yr, yi = core(xr, xi, -1.0)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert oracle.snr_db(np.abs(ref), np.abs(got)) >= 60.0
+        err = np.abs(ref - got)
+        assert 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(err**2)) >= 60.0
+
+    @pytest.mark.parametrize("core", CORES, ids=("fourstep", "radix2"))
+    def test_inverse_roundtrip(self, rng, core):
+        n, b = 1024, 8
+        xr = rng.standard_normal((b, n)).astype(np.float32)
+        xi = rng.standard_normal((b, n)).astype(np.float32)
+        yr, yi = core(xr, xi, -1.0)
+        zr, zi = core(np.asarray(yr), np.asarray(yi), 1.0)
+        np.testing.assert_allclose(np.asarray(zr) / n, xr, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(zi) / n, xi, atol=2e-3)
+
+    @pytest.mark.parametrize("core", CORES, ids=("fourstep", "radix2"))
+    def test_f64(self, rng, core):
+        n, b = 256, 8
+        xr = rng.standard_normal((b, n))
+        xi = rng.standard_normal((b, n))
+        ref = np.fft.fft(xr + 1j * xi)
+        yr, yi = core(xr, xi, -1.0)
+        np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), ref,
+                                   rtol=1e-9, atol=1e-9)
+
+    def test_batch_padding(self, rng):
+        """Batch not a multiple of the tile is padded and trimmed exactly."""
+        n = 256
+        for b in (1, 3, 9, 100):
+            xr = rng.standard_normal((b, n)).astype(np.float32)
+            xi = np.zeros((b, n), np.float32)
+            yr, yi = fft_kernel.fft_fourstep(xr, xi, -1.0)
+            assert yr.shape == (b, n)
+            ref = np.fft.fft(xr.astype(np.float64))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            assert oracle.snr_db(np.abs(ref) + 1e-30, np.abs(got) + 1e-30) >= 60.0
+
+
+class TestImplRegistry:
+    """The pallas impls plug into the ops.fft API and match the oracle."""
+
+    @pytest.mark.parametrize("impl", ("pallas", "pallas_r2"))
+    @pytest.mark.parametrize("n", (64, 1024))
+    def test_fft_api(self, rng, impl, n):
+        x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))).astype(
+            np.complex64
+        )
+        ref = np.fft.fft(x.astype(np.complex128))
+        out = np.asarray(fft_ops.fft(x, impl=impl))
+        err = np.abs(ref - out)
+        assert 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(err**2)) >= 60.0
+
+    @pytest.mark.parametrize("impl", ("pallas", "pallas_r2"))
+    def test_rfft_irfft_api(self, rng, impl):
+        x = rng.standard_normal((4, 1024)).astype(np.float32)
+        ref = np.fft.rfft(x.astype(np.float64))
+        out = np.asarray(fft_ops.rfft(x, impl=impl))
+        err = np.abs(ref - out)
+        assert 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(err**2)) >= 60.0
+        back = np.asarray(fft_ops.irfft(out, 1024, impl=impl))
+        assert oracle.snr_db(x.astype(np.float64), back) >= 60.0
+
+    def test_overlap_save_with_pallas(self, rng):
+        from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+
+        x = rng.standard_normal(8192).astype(np.float32)
+        h = oracle.design_fir(64, 0.25)
+        ref = oracle.fir_direct(x.astype(np.float64), h)
+        out = np.asarray(overlap_save(x, h, 1024, impl="pallas"))
+        assert oracle.snr_db(ref, out) >= 60.0

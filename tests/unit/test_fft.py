@@ -1,0 +1,109 @@
+"""FFT family parity tests: every impl vs the pinned float64 oracle.
+
+Acceptance (SURVEY.md §4.1): >= 60 dB SNR for f32 paths, near machine
+precision for f64; exact structural parity (shapes, bin counts).
+"""
+
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.ops import fft as fft_ops
+
+IMPLS = ("radix2", "splitradix", "matmul", "xla")
+SIZES = (2, 4, 8, 64, 256, 1024, 4096)
+
+
+def _snr_c(ref, test):
+    err = np.abs(ref - np.asarray(test))
+    p = np.sum(np.abs(ref) ** 2)
+    e = np.sum(err**2)
+    return np.inf if e == 0 else 10.0 * np.log10(p / e)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+class TestOracleSelfConsistency:
+    """The pinned oracle must agree with numpy.fft (the gold standard)."""
+
+    @pytest.mark.parametrize("n", SIZES)
+    def test_radix2_vs_numpy(self, rng, n):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        np.testing.assert_allclose(oracle.fft_radix2(x), np.fft.fft(x), rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("n", SIZES)
+    def test_splitradix_vs_numpy(self, rng, n):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        np.testing.assert_allclose(oracle.fft_splitradix(x), np.fft.fft(x), rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("n", SIZES[1:])
+    def test_rfft_vs_numpy(self, rng, n):
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(oracle.rfft(x), np.fft.rfft(x), rtol=1e-9, atol=1e-9)
+
+    @pytest.mark.parametrize("n", SIZES[1:])
+    def test_irfft_roundtrip(self, rng, n):
+        x = rng.standard_normal(n)
+        np.testing.assert_allclose(oracle.irfft(oracle.rfft(x), n), x, rtol=1e-9, atol=1e-9)
+
+
+class TestJaxFFT:
+    @pytest.mark.parametrize("impl", IMPLS)
+    @pytest.mark.parametrize("n", SIZES)
+    def test_fft_f64(self, rng, impl, n):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ref = oracle.fft_radix2(x)
+        out = fft_ops.fft(x, impl=impl)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8, atol=1e-8)
+
+    @pytest.mark.parametrize("impl", IMPLS)
+    @pytest.mark.parametrize("n", (64, 1024, 4096))
+    def test_fft_f32_snr(self, rng, impl, n):
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+        ref = oracle.fft_radix2(x.astype(np.complex128))
+        out = fft_ops.fft(x, impl=impl)
+        assert np.asarray(out).dtype == np.complex64
+        assert _snr_c(ref, out) >= 60.0
+
+    @pytest.mark.parametrize("impl", IMPLS)
+    @pytest.mark.parametrize("n", (8, 256, 1024))
+    def test_ifft_roundtrip(self, rng, impl, n):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        out = fft_ops.ifft(fft_ops.fft(x, impl=impl), impl=impl)
+        np.testing.assert_allclose(np.asarray(out), x, rtol=1e-8, atol=1e-8)
+
+    @pytest.mark.parametrize("impl", IMPLS)
+    @pytest.mark.parametrize("n", (4, 64, 1024, 4096))
+    def test_rfft_f64(self, rng, impl, n):
+        x = rng.standard_normal(n)
+        ref = oracle.rfft(x)
+        out = fft_ops.rfft(x, impl=impl)
+        assert out.shape[-1] == n // 2 + 1
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8, atol=1e-8)
+
+    @pytest.mark.parametrize("impl", IMPLS)
+    @pytest.mark.parametrize("n", (4, 64, 1024, 4096))
+    def test_irfft_f64(self, rng, impl, n):
+        x = rng.standard_normal(n)
+        out = fft_ops.irfft(fft_ops.rfft(x, impl=impl), n, impl=impl)
+        np.testing.assert_allclose(np.asarray(out), x, rtol=1e-8, atol=1e-8)
+
+    @pytest.mark.parametrize("impl", ("radix2", "matmul"))
+    def test_batched(self, rng, impl):
+        x = rng.standard_normal((3, 5, 256))
+        ref = np.fft.rfft(x)
+        out = fft_ops.rfft(x, impl=impl)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-8, atol=1e-8)
+
+    @pytest.mark.parametrize("n", (64, 1024))
+    def test_rfft_f32_snr(self, rng, n):
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        ref = np.fft.rfft(x.astype(np.float64))
+        for impl in IMPLS:
+            out = fft_ops.rfft(x, impl=impl)
+            assert _snr_c(ref, out) >= 60.0, impl

@@ -1,0 +1,127 @@
+"""Streaming pipeline tests: block-streamed output == whole-file output
+(SURVEY.md §4.4, BASELINE.json:11 streaming chain)."""
+
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.pipeline import (
+    Chain, EnvelopeStage, FIRStage, GateStage, ResampleStage,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(13)
+
+
+def _stream_equals_full(chain: Chain, x: np.ndarray, block: int, rtol=1e-8, atol=1e-8):
+    lat = chain.build()
+    full = np.asarray(chain.full(x))
+    streamed = np.asarray(chain.stream(x, block))
+    # identity: streamed[L:] == full[:len(streamed)-L]
+    got = streamed[..., lat:]
+    want = full[..., : got.shape[-1]]
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+class TestFIRStage:
+    def test_stream_equals_full(self, rng):
+        x = rng.standard_normal((2, 8192))
+        h = oracle.design_fir(64, 0.25)
+        _stream_equals_full(Chain([FIRStage(h=h)]), x, 1024)
+
+    def test_overlap_save_stage(self, rng):
+        x = rng.standard_normal(8192)
+        h = oracle.design_fir(64, 0.25)
+        _stream_equals_full(Chain([FIRStage(h=h, nfft=1024)]), x, 1024)
+
+    def test_full_matches_oracle(self, rng):
+        x = rng.standard_normal(4096)
+        h = oracle.design_fir(64, 0.25)
+        c = Chain([FIRStage(h=h, nfft=1024)])
+        c.build()
+        np.testing.assert_allclose(
+            np.asarray(c.full(x)), oracle.fir_direct(x, h), rtol=1e-8, atol=1e-8
+        )
+
+
+class TestResampleStage:
+    @pytest.mark.parametrize("up,down", ((160, 147), (1, 2), (3, 4)))
+    def test_stream_equals_full(self, rng, up, down):
+        block = down * 32
+        x = rng.standard_normal((2, block * 8))
+        _stream_equals_full(Chain([ResampleStage(up=up, down=down)]), x, block)
+
+
+class TestEnvelopeStage:
+    def test_stream_equals_full(self, rng):
+        x = rng.standard_normal(8192)
+        h = oracle.design_fir(129, 0.01)
+        _stream_equals_full(Chain([EnvelopeStage(h)]), x, 512)
+
+
+class TestGateStage:
+    def test_stream_equals_full(self, rng):
+        fs = 48000
+        n = 512 * 96
+        t = np.arange(n) / fs
+        x = 0.01 * rng.standard_normal(n) + np.where(
+            (t > 0.4) & (t < 0.7), np.sin(2 * np.pi * 440.0 * t), 0.0
+        )
+        _stream_equals_full(Chain([GateStage()]), x, 512)
+
+    def test_full_matches_oracle_gate(self, rng):
+        n = 48000
+        x = 0.01 * rng.standard_normal(n)
+        x[20000:30000] += np.sin(2 * np.pi * 440.0 * np.arange(10000) / 48000.0)
+        g = GateStage()
+        c = Chain([g])
+        c.build()
+        out = np.asarray(c.full(x))
+        ref = oracle.noise_gate(x)
+        np.testing.assert_allclose(out[: ref.shape[-1]], ref, rtol=1e-7, atol=1e-9)
+        assert np.allclose(out[ref.shape[-1] :], 0.0)
+
+
+class TestFullChain:
+    def test_config5_chain_stream_equals_full(self, rng):
+        """Streaming config-5-style chain: resample 160/147 -> FIR ->
+        noise gate -> envelope (BASELINE.json:11)."""
+        block = 147 * 16  # multiple of down and (after resample) of hop? 147*16*160/147=2560
+        x = rng.standard_normal((2, block * 6))
+        h_fir = oracle.design_fir(64, 0.3)
+        h_env = oracle.design_fir(129, 0.01)
+        chain = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=h_fir, nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+            EnvelopeStage(h_env),
+        ])
+        _stream_equals_full(chain, x, block, rtol=1e-7, atol=1e-8)
+
+    def test_checkpoint_resume(self, rng):
+        """Stream halfway, checkpoint the carry, resume -> same output."""
+        from audiosignalprocess_tpu.utils.checkpoint import load_carry, save_carry
+        import tempfile, os, jax
+
+        x = rng.standard_normal(8192)
+        h = oracle.design_fir(64, 0.25)
+        chain = Chain([FIRStage(h=h)])
+        chain.build()
+        block = 1024
+        states = chain.init_state((), block, jax.numpy.float64)
+        outs = []
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "ck.npz")
+            for k in range(4):
+                states, y = chain.step(states, x[k * block : (k + 1) * block])
+                outs.append(np.asarray(y))
+            save_carry(path, states, block_index=4)
+            states2, bk = load_carry(path, states)
+            assert bk == 4
+            for k in range(4, 8):
+                states2, y = chain.step(states2, x[k * block : (k + 1) * block])
+                outs.append(np.asarray(y))
+        ref = np.asarray(chain.full(x))
+        np.testing.assert_allclose(np.concatenate(outs), ref, rtol=1e-8, atol=1e-8)
