@@ -35,8 +35,15 @@ def _interpret() -> bool:
 
 
 def _split_n(n: int) -> tuple[int, int]:
-    k = n.bit_length() - 1
-    return 1 << (k // 2), 1 << (k - k // 2)
+    """Lane-preferred four-step split: n = n1 * n2 with n2 = min(128, n).
+
+    n2 == the vreg lane width makes every row-space slice, DMA, and
+    output block naturally 128-aligned (Mosaic's tiling constraint); the
+    extra n1-side FLOPs vs a balanced split are free on the MXU for these
+    HBM-bound kernels.
+    """
+    n2 = min(128, n)
+    return n // n2, n2
 
 
 @functools.lru_cache(maxsize=None)
@@ -62,42 +69,117 @@ def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
     return int(np.clip((budget // 8) * 8, 8, 512))
 
 
-def fourstep_planar_val(xr, xi, n1, n2, f1c, f1s, f2c, f2s, twc, tws):
-    """Four-step FFT on VALUES (usable inside any kernel): (..., n) planar
-    in, (..., n) planar out, n = n1*n2.  Sign is baked into the tables
-    (negate the sin tables for the inverse; no 1/N scaling here)."""
-    batch = xr.shape[:-1]
+def _dot(a, b, dn, acc_dt):
+    return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                               preferred_element_type=acc_dt,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _sublane_merge(y):
+    """(..., K, L) -> (..., K*L), out[..., k*L + l] = y[..., k, l].
+
+    Concat of sublane slices — usable where a plain reshape would be a
+    Mosaic lane-dim shape cast.  Prefer doing flat<->grid conversion in
+    XLA (outside the kernel) or via DMA of pre-shaped HBM arrays; this is
+    the in-kernel fallback.
+    """
+    return jnp.concatenate([y[..., k, :] for k in range(y.shape[-2])], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_tables(n: int):
+    """Positive-angle four-step tables: (c1, s1) (n1,n1), (c2, s2) (n2,n2),
+    (tbc, tbs) twiddle grids laid out [b, c] (n2, n1)."""
+    n1, n2 = _split_n(n)
+    jk1 = 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
+    jk2 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    tw = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n
+    return (np.cos(jk1), np.sin(jk1), np.cos(jk2), np.sin(jk2),
+            np.cos(tw), np.sin(tw))
+
+
+def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
+    """Forward four-step FFT, grid in -> grid out: (..., n1, n2) planar
+    [a, b] grids of x[a*n2+b] -> (..., n1, n2) grids G[..., c, d] =
+    S[n1*d + c] (spectrum, unnormalized).
+
+    Grid-in/grid-out keeps every in-kernel op on sublane axes (Mosaic
+    cannot lane-reshape); flat<->grid conversion happens in XLA or via DMA
+    of pre-shaped HBM arrays.  ``xi=None`` for real input (saves half the
+    first-stage matmuls).
+    """
+    acc = xr.dtype
+    X_r = xr  # (..., a, b)
+    dn1 = (((X_r.ndim - 2,), (0,)), ((), ()))  # contract a
+    yr = _dot(X_r, c1, dn1, acc)               # (..., b, c)
+    yi = -_dot(X_r, s1, dn1, acc)
+    if xi is not None:
+        X_i = xi
+        yr = yr + _dot(X_i, s1, dn1, acc)
+        yi = yi + _dot(X_i, c1, dn1, acc)
+    # twiddle e^{-2pi i cb/n}: grids laid out [b, c]
+    zr = yr * tbc + yi * tbs
+    zi = yi * tbc - yr * tbs
+    dn2 = (((zr.ndim - 2,), (0,)), ((), ()))   # contract b
+    sr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)   # (..., c, d)
+    si = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
+    return sr, si
+
+
+def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
+    """Inverse four-step from GRID spectrum (..., n1, n2) [c, d] back to the
+    REAL signal in GRID layout (..., n1, n2) [a, b] of y[a*n2+b], scaled
+    1/n.  Grid-in/grid-out (see fourstep_grid_fwd)."""
+    acc = pr.dtype
     n = n1 * n2
-    xr = xr.reshape((-1, n1, n2))
-    xi = xi.reshape((-1, n1, n2))
-    acc_dt = xr.dtype
-    dn_l = (((1,), (1,)), ((), ()))  # F1[c,a] . X[t,a,b] -> (c,t,b)
-
-    def dot(a, b, dn):
-        return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                                   preferred_element_type=acc_dt,
-                                   precision=jax.lax.Precision.HIGHEST)
-
-    yr = dot(f1c, xr, dn_l) - dot(f1s, xi, dn_l)
-    yi = dot(f1c, xi, dn_l) + dot(f1s, xr, dn_l)
-    # twiddle: (c,t,b) * (c,1,b)
-    tc = twc[:, None, :]
-    ts = tws[:, None, :]
-    zr = yr * tc - yi * ts
-    zi = yr * ts + yi * tc
-    dn_r = (((2,), (0,)), ((), ()))  # Z[c,t,b] . F2[b,d] -> (c,t,d)
-    wr = dot(zr, f2c, dn_r) - dot(zi, f2s, dn_r)
-    wi = dot(zr, f2s, dn_r) + dot(zi, f2c, dn_r)
-    # out[t, d*n1 + c] -> transpose (c,t,d) -> (t,d,c) -> (t, n)
-    or_ = jnp.transpose(wr, (1, 2, 0)).reshape(batch + (n,))
-    oi_ = jnp.transpose(wi, (1, 2, 0)).reshape(batch + (n,))
-    return or_, oi_
+    dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane axis)
+    ur = _dot(pr, c2, dn1, acc) - _dot(pi, s2, dn1, acc)   # (..., c, b)
+    ui = _dot(pi, c2, dn1, acc) + _dot(pr, s2, dn1, acc)
+    # twiddle e^{+2pi i cb/n}: [c, b] grids = transposes of (tbc, tbs)
+    tcb = jnp.transpose(tbc)
+    tsb = jnp.transpose(tbs)
+    vr = ur * tcb - ui * tsb
+    vi = ui * tcb + ur * tsb
+    # contract c (sublane) with F1^{+} = c1 + i s1 -> (..., b, a); data
+    # stays the dot LHS (Mosaic flattens multi-dim rhs free axes otherwise)
+    nd = vr.ndim
+    dn2 = (((nd - 2,), (0,)), ((), ()))
+    wr = _dot(vr, c1, dn2, acc) - _dot(vi, s1, dn2, acc)   # (..., b, a)
+    perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+    y3 = jnp.transpose(wr, perm)                           # (..., a, b)
+    return y3 * (1.0 / n)
 
 
-def _fourstep_kernel(n1, n2, xr_ref, xi_ref, f1c, f1s, f2c, f2s, twc, tws, or_ref, oi_ref):
-    or_ref[:], oi_ref[:] = fourstep_planar_val(
+def fourstep_grid_complex(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
+    """Complex four-step FFT, grid in -> grid out: (..., n1, n2) [a, b]
+    grids -> (..., n2, n1) grids T[..., d, c] = S[n1*d + c] (the d-major
+    grid whose XLA flatten is the natural-order spectrum).  Tables from
+    _grid_tables (sin grids pre-negated for the inverse direction)."""
+    acc = xr.dtype
+    X_r = xr
+    X_i = xi
+    dn1 = (((X_r.ndim - 2,), (0,)), ((), ()))
+    yr = _dot(X_r, c1, dn1, acc) + _dot(X_i, s1, dn1, acc)
+    yi = _dot(X_i, c1, dn1, acc) - _dot(X_r, s1, dn1, acc)
+    zr = yr * tbc + yi * tbs
+    zi = yi * tbc - yr * tbs
+    # step 2: contract b (sublane) -> (..., c, d); minor transpose to
+    # (..., d, c) for the d-major natural-order merge
+    nd = zr.ndim
+    dn2 = (((nd - 2,), (0,)), ((), ()))
+    wr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)   # (..., c, d)
+    wi = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
+    perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+    wr = jnp.transpose(wr, perm)  # (..., d, c)
+    wi = jnp.transpose(wi, perm)
+    return wr, wi  # grid T[d, c]: flatten outside -> natural order
+
+
+def _fourstep_kernel(n1, n2, xr_ref, xi_ref, c1, s1, c2, s2, tbc, tbs,
+                     or_ref, oi_ref):
+    or_ref[:], oi_ref[:] = fourstep_grid_complex(
         xr_ref[:], xi_ref[:], n1, n2,
-        f1c[:], f1s[:], f2c[:], f2s[:], twc[:], tws[:],
+        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:],
     )
 
 
@@ -111,83 +193,33 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     assert n & (n - 1) == 0 and n >= 4
     n1, n2 = _split_n(n)
     dt = xr.dtype
-    t1c, t1s, t2c, t2s, twc, tws = (
-        jnp.asarray(t, dt) for t in _tables_fourstep(n, sign)
-    )
+    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
+    ss = 1.0 if sign < 0 else -1.0  # inverse = conjugate: negate sin grids
+    tabs = [jnp.asarray(a, dt) for a in
+            (c1_, ss * s1_, c2_, ss * s2_, tbc_, ss * tbs_)]
     tb = min(_batch_tile(n, dt.itemsize), max(8, b))
     bp = -(-b // tb) * tb
     if bp != b:
         pad = ((0, bp - b), (0, 0))
         xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    # flat -> grid in XLA (free layout change); the kernel is grid-to-grid
+    xr = xr.reshape(bp, n1, n2)
+    xi = xi.reshape(bp, n1, n2)
     grid = (bp // tb,)
-    bs_x = pl.BlockSpec((tb, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    bs_t = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                      memory_space=pltpu.VMEM)
+    bs_in = pl.BlockSpec((tb, n1, n2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bs_out = pl.BlockSpec((tb, n2, n1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bs_t = lambda a: pl.BlockSpec(a.shape, (lambda i: (0,) * a.ndim),
+                                  memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_fourstep_kernel, n1, n2),
         grid=grid,
-        in_specs=[bs_x, bs_x, bs_t((n1, n1)), bs_t((n1, n1)),
-                  bs_t((n2, n2)), bs_t((n2, n2)), bs_t((n1, n2)), bs_t((n1, n2))],
-        out_specs=(bs_x, bs_x),
-        out_shape=(jax.ShapeDtypeStruct((bp, n), dt), jax.ShapeDtypeStruct((bp, n), dt)),
+        in_specs=[bs_in, bs_in] + [bs_t(t_) for t_ in tabs],
+        out_specs=(bs_out, bs_out),
+        out_shape=(jax.ShapeDtypeStruct((bp, n2, n1), dt),
+                   jax.ShapeDtypeStruct((bp, n2, n1), dt)),
         interpret=_interpret(),
-    )(xr, xi, t1c, t1s, t2c, t2s, twc, tws)
-    return yr[:b], yi[:b]
-
-
-@functools.lru_cache(maxsize=None)
-def _pack_tables(n: int):
-    """rfft untangle / irfft re-tangle twiddles for length-n real FFTs."""
-    half = n // 2
-    ang = -2.0 * np.pi * np.arange(half + 1) / n
-    return np.cos(ang), np.sin(ang)  # wb = conj(wf): negate sin
-
-
-def rfft_planar_val(x, n1, n2, f1c, f1s, f2c, f2s, twc, tws, wfc, wfs):
-    """Value-level real FFT via half-size packed complex four-step.
-
-    x: (..., n) real (n = 2*n1*n2); returns (Sr, Si) each (..., n//2+1).
-    Tables: four-step FORWARD tables for n//2, plus (wfc, wfs) from
-    _pack_tables(n).
-    """
-    half = x.shape[-1] // 2
-    xv = x.reshape(x.shape[:-1] + (half, 2))
-    zr, zi = xv[..., 0], xv[..., 1]
-    zfr, zfi = fourstep_planar_val(zr, zi, n1, n2, f1c, f1s, f2c, f2s, twc, tws)
-    zkr = jnp.concatenate([zfr, zfr[..., :1]], axis=-1)
-    zki = jnp.concatenate([zfi, zfi[..., :1]], axis=-1)
-    zkcr = zkr[..., ::-1]
-    zkci = -zki[..., ::-1]
-    xer = 0.5 * (zkr + zkcr)
-    xei = 0.5 * (zki + zkci)
-    xor_ = 0.5 * (zki - zkci)
-    xoi = -0.5 * (zkr - zkcr)
-    sr = xer + wfc * xor_ - wfs * xoi
-    si = xei + wfc * xoi + wfs * xor_
-    return sr, si
-
-
-def irfft_planar_val(sr, si, n1, n2, if1c, if1s, if2c, if2s, itwc, itws, wfc, wfs):
-    """Value-level inverse real FFT (1/N scaling): (..., n//2+1) planar
-    spectrum -> (..., n) real.  Tables: four-step INVERSE tables for n//2
-    (sin-negated forward tables), plus the SAME (wfc, wfs) from
-    _pack_tables(n) — the re-tangle conjugate is formed in here."""
-    half = sr.shape[-1] - 1
-    srr = sr[..., ::-1]
-    sii = si[..., ::-1]
-    xer = 0.5 * (sr + srr)
-    xei = 0.5 * (si - sii)
-    dr = 0.5 * (sr - srr)
-    di = 0.5 * (si + sii)
-    # xo = d * conj(wf)  (wback = exp(+2pi i k/n) = conj(wf))
-    xor_ = dr * wfc + di * wfs
-    xoi = -dr * wfs + di * wfc
-    zr = (xer - xoi)[..., :half]
-    zi = (xei + xor_)[..., :half]
-    tr, ti = fourstep_planar_val(zr, zi, n1, n2, if1c, if1s, if2c, if2s, itwc, itws)
-    scale = 1.0 / half
-    out = jnp.stack([tr * scale, ti * scale], axis=-1)
-    return out.reshape(sr.shape[:-1] + (2 * half,))
+    )(xr, xi, *tabs)
+    return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]
 
 
 # ---------------------------------------------------------------------------

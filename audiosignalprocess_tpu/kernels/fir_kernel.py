@@ -83,6 +83,7 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
     else:
         head = jnp.asarray(history).reshape((-1, t - 1)).astype(x.dtype)
     tile = int(min(time_tile, max(128, n)))
+    tile = -(-tile // 128) * 128  # Mosaic: last out dim % 128 == 0
     npad = -(-n // tile) * tile
     tb = int(min(batch_tile, b))
     bp = -(-b // tb) * tb
@@ -96,7 +97,7 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
         functools.partial(_fir_kernel, t, tile, nt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, t), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, tile), lambda i, j: (i, j),

@@ -1,15 +1,21 @@
 """Fused overlap-save Pallas kernel: the speed-of-light FIR path.
 
 One kernel does, per grid step, entirely in VMEM:
-    DMA input span (nb blocks + T-1 halo)  ->  slice into overlapping
-    nfft-blocks  ->  packed rfft (four-step MXU)  ->  spectrum x H  ->
-    packed irfft  ->  discard first T-1 per block  ->  write valid samples.
+    DMA input span (nb blocks + FFT halo)  ->  slice into overlapping
+    nfft-blocks  ->  four-step MXU FFT  ->  spectrum x H  ->  inverse
+    four-step  ->  emit the b new valid samples per block.
 
-HBM traffic = read N(1 + (T-1)/(nb*B)) + write N — within a few percent of
-the 2N speed-of-light bound, vs ~6N for the unfused rfft/mul/irfft
-pipeline (blocks materialized + complex spectra round-tripped).
-Semantics identical to ops.overlap_save.overlap_save (oracle-pinned causal
-FIR, output length == input length).
+Mosaic cannot reshape the lane (minor) dimension, so the kernel works
+entirely in "row space": the input is pre-reshaped in XLA to
+(batch, rows, n2) — n2 the four-step lane width — and every in-kernel
+slice/stack is on sublane (row) axes.  The block hop b and the emission
+offset e0 are row-aligned; the extra overlap this forces costs a few
+percent of FFT compute, which is free (the kernel is HBM-bound: traffic
+= read N(1 + (nfft-b)/(nb*b)) + write N, vs ~6N for the unfused
+rfft/mul/irfft pipeline).
+
+Semantics identical to ops.overlap_save.overlap_save (oracle-pinned
+causal FIR, output length == input length).
 """
 
 from __future__ import annotations
@@ -24,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.kernels.fft_kernel import (
-    _pack_tables, _split_n, _tables_fourstep, irfft_planar_val, rfft_planar_val,
+    _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
 
 
@@ -34,19 +40,19 @@ def _interpret() -> bool:
     )
 
 
-def _os_kernel(nfft, t, b, nb, nt, n1, n2,
-               x_hbm, f1c, f1s, f2c, f2s, twc, tws, wfc, wfs, hfr, hfi,
+def _os_kernel(nfft, br, e0r, nb, nt, n1, n2,
+               x_hbm, c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                o_ref, win, sem):
-    """Grid (batch_tiles, span_tiles); win: (2, tb, nb*b + t - 1)."""
+    """Grid (batch_tiles, span_tiles); win: (2, tb, wrows, n2) row-space."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     tb = o_ref.shape[0]
-    span = nb * b
-    wlen = span + t - 1
+    span_r = nb * br
+    wrows = span_r + (n1 - br)  # last block in the span still needs n1 rows
 
     def fetch(slot, jj):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * span, wlen)],
+            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * span_r, wrows), :],
             win.at[slot],
             sem.at[slot],
         )
@@ -62,19 +68,19 @@ def _os_kernel(nfft, t, b, nb, nt, n1, n2,
         fetch((j + 1) % 2, j + 1).start()
 
     fetch(slot, j).wait()
-    w = win[slot]
-    # overlapping blocks: block q = w[:, q*b : q*b + nfft]
-    blocks = jnp.stack([w[:, q * b : q * b + nfft] for q in range(nb)], axis=1)
-    sr, si = rfft_planar_val(blocks, n1, n2,
-                             f1c[:], f1s[:], f2c[:], f2s[:], twc[:], tws[:],
-                             wfc[:], wfs[:])
-    hr, hi = hfr[:], hfi[:]
+    w3 = win[slot]  # (tb, wrows, n2)
+    # overlapping blocks: block q = rows [q*br, q*br + n1) — sublane slices
+    blocks = jnp.stack([w3[:, q * br : q * br + n1, :] for q in range(nb)],
+                       axis=1)  # (tb, nb, n1, n2) == the four-step [a, b] grid
+    sr, si = fourstep_grid_fwd(blocks, None, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    hr, hi = hgr[:], hgi[:]  # taps spectrum pre-arranged in grid layout
     pr = sr * hr - si * hi
     pi_ = sr * hi + si * hr
-    y = irfft_planar_val(pr, pi_, n1, n2,
-                         f1c[:], -f1s[:], f2c[:], -f2s[:], twc[:], -tws[:],
-                         wfc[:], wfs[:])
-    o_ref[:] = y[:, :, t - 1 :].reshape(tb, span)
+    y = fourstep_grid_inv_real(pr, pi_, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    # emit rows [e0r, e0r + br): the b valid new samples per block
+    o_ref[:] = y[:, :, e0r : e0r + br, :]
 
 
 def overlap_save_fused(
@@ -82,25 +88,29 @@ def overlap_save_fused(
     h,
     nfft: int,
     history: jnp.ndarray | None = None,
-    blocks_per_step: int = 8,
+    blocks_per_step: int = 4,
     batch_tile: int = 8,
 ) -> jnp.ndarray:
     """Causal FIR via the fused Pallas overlap-save kernel.
 
     Drop-in for ops.overlap_save.overlap_save (same oracle-pinned
-    semantics).  f32/f64; nfft must be a power of two >= 8.
+    semantics).  f32/f64; nfft a power of two with nfft - roundup(T-1)
+    >= one grid row (n2).
     """
     x = jnp.asarray(x)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    assert nfft > t - 1 and nfft & (nfft - 1) == 0 and nfft >= 8
-    b = nfft - (t - 1)
+    assert nfft > t - 1 and nfft & (nfft - 1) == 0
+    n1, n2 = _split_n(nfft)
+    # row-aligned emission offset and block hop
+    e0 = -(-(t - 1) // n2) * n2
+    b = ((nfft - e0) // n2) * n2
+    assert b >= n2, f"nfft={nfft} too small for {t} taps with row width {n2}"
+    br, e0r = b // n2, e0 // n2
     batch = x.shape[:-1]
     n = x.shape[-1]
     xf = x.reshape((-1, n))
     bsz = xf.shape[0]
-    half = nfft // 2
-    n1, n2 = _split_n(half)
     dt = x.dtype
 
     nb = int(blocks_per_step)
@@ -109,37 +119,49 @@ def overlap_save_fused(
     span = nb * b
     total = nt * span
     if history is None:
-        head = jnp.zeros((bsz, t - 1), dt)
+        hist = jnp.zeros((bsz, t - 1), dt)
     else:
-        head = jnp.asarray(history).reshape((bsz, t - 1)).astype(dt)
+        hist = jnp.asarray(history).reshape((bsz, t - 1)).astype(dt)
+    # prefix = e0 samples: (e0 - (t-1)) zeros then the true history
+    pre = jnp.zeros((bsz, e0 - (t - 1)), dt)
+    # right-pad so the final span's window (span + nfft - b) is in bounds
+    rpad = total + (nfft - b) - n
     xp = jnp.concatenate(
-        [head, xf, jnp.zeros((bsz, total - n), dt)], axis=-1
+        [pre, hist, xf, jnp.zeros((bsz, max(0, rpad)), dt)], axis=-1
     )
     tb = int(min(batch_tile, bsz))
     bp = -(-bsz // tb) * tb
     if bp != bsz:
         xp = jnp.pad(xp, ((0, bp - bsz), (0, 0)))
+    # flat -> row space in XLA (free)
+    nrows = xp.shape[-1] // n2
+    xp3 = xp[:, : nrows * n2].reshape(bp, nrows, n2)
 
-    f1c_, f1s_, f2c_, f2s_, twc_, tws_ = _tables_fourstep(half, -1.0)
-    wfc_, wfs_ = _pack_tables(nfft)
-    hf = np.fft.rfft(np.concatenate([h, np.zeros(nfft - t)]))
+    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(nfft)
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
+    # grid layout Hg[c, d] = Hf[n1*d + c]
+    hg = hf.reshape(n2, n1).T
     consts = [jnp.asarray(a, dt) for a in
-              (f1c_, f1s_, f2c_, f2s_, twc_, tws_, wfc_, wfs_, hf.real, hf.imag)]
+              (c1_, s1_, c2_, s2_, tbc_, tbs_, hg.real.copy(), hg.imag.copy())]
 
     bs_c = lambda shape: pl.BlockSpec(
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)
+    # 4D output (batch, block, row, n2): last two dims equal the array's,
+    # so Mosaic's (8, 128) divisibility rule is satisfied for any shape.
     y = pl.pallas_call(
-        functools.partial(_os_kernel, nfft, t, b, nb, nt, n1, n2),
+        functools.partial(_os_kernel, nfft, br, e0r, nb, nt, n1, n2),
         grid=(bp // tb, nt),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [bs_c(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((tb, span), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tb, nb, br, n2), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, total), dt),
+        out_shape=jax.ShapeDtypeStruct((bp, nt * nb, br, n2), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, span + t - 1), dt),
+            pltpu.VMEM((2, tb, nb * br + (n1 - br), n2), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp, *consts)
-    return y[:bsz, :n].reshape(batch + (n,))
+    )(xp3, *consts)
+    return y.reshape(bp, total)[:bsz, :n].reshape(batch + (n,))

@@ -9,18 +9,19 @@ With g=gcd reduced (up, down), output j = up*t + s (t = cycle, s = slot):
     y[up*t + s] = sum_k h[p_s + up*k] * x[down*t + c_s - k]
 where c_s = (s*down + delay) // up, p_s = (s*down + delay) mod up.
 All input samples touched by cycle t lie in a window of R*down
-consecutive samples starting at down*t + base (base, R static).  Build
-V[t] = that window (pure reshape+static-slice+concat of the down-aligned
-view — NO gathers), and a static phase matrix M[s, o] with
-M[s, (c_s - k) - base] = h[p_s + up*k].  Then
+consecutive samples starting at down*t + base (base, R static).  XLA
+builds V[t] = that window from the down-aligned row view (pure
+reshape+slice+concat — no gathers; Mosaic cannot lane-reshape, so this
+layout prep stays OUTSIDE the kernel), and a static phase matrix M[s, o]
+with M[s, (c_s - k) - base] = h[p_s + up*k].  The kernel is then a clean
+tiled MXU matmul over standard blocked specs:
 
-    Y[t, s] = sum_o V[t, o] * M[s, o]      (MXU matmul)
+    Y[t, s] = sum_o V[t, o] * M[o, s]
 
-The matmul does R*down/nk more FLOPs than the scalar MAC loop, but the op
-is HBM-bound and the MXU has orders of magnitude of FLOP headroom — this
-is the classic TPU trade (dense regular compute beats sparse gather).
-Per-tile windows overlap by R-1 rows, so the input stays in HBM and each
-grid step DMAs its exact window (double-buffered).
+The matmul does R*down/nk more FLOPs than the scalar MAC loop, but the
+MXU has orders of magnitude of FLOP headroom and the op stays
+bandwidth-bound — the classic TPU trade: dense regular compute beats
+sparse gather.
 """
 
 from __future__ import annotations
@@ -66,40 +67,14 @@ def _phase_matrix(h_key, up: int, down: int, delay: int):
     return m, base, r
 
 
-def _resample_kernel(tcyc, r, down, up, nt, x_hbm, m_ref, o_ref, win, sem):
-    """Grid (batch_tiles, cycle_tiles).  win: (2, tb, (tcyc+r-1)*down)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    tb = o_ref.shape[0]
-    wlen = (tcyc + r - 1) * down
-
-    def fetch(slot, jj):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * tcyc * down, wlen)],
-            win.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(j == 0)
-    def _():
-        fetch(0, 0).start()
-
-    slot = j % 2
-
-    @pl.when(j + 1 < nt)
-    def _():
-        fetch((j + 1) % 2, j + 1).start()
-
-    fetch(slot, j).wait()
-    w2 = win[slot].reshape(tb, tcyc + r - 1, down)
-    v = jnp.concatenate([w2[:, q : q + tcyc, :] for q in range(r)], axis=-1)
-    y = jax.lax.dot_general(
-        v, m_ref[:],
-        dimension_numbers=(((2,), (1,)), ((), ())),
+def _resample_kernel(v_ref, m_ref, o_ref):
+    """Pure MXU matmul: V (tb, tcyc, W) . M (W, up) -> (tb, tcyc, up)."""
+    o_ref[:] = jax.lax.dot_general(
+        v_ref[:], m_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=o_ref.dtype,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (tb, tcyc, up)
-    o_ref[:] = y.reshape(tb, tcyc * up)
+    )
 
 
 def resample_mac(
@@ -109,7 +84,7 @@ def resample_mac(
     h=None,
     zero_phase: bool = True,
     history: jnp.ndarray | None = None,
-    cycle_tile: int = 256,
+    cycle_tile: int = 128,
     batch_tile: int = 8,
 ) -> jnp.ndarray:
     """Rational resample via the Pallas phase-matrix kernel.
@@ -144,16 +119,19 @@ def resample_mac(
     n = xf.shape[-1]
     delay = (len(h) - 1) // 2 if zero_phase else 0
     m_np, base, r = _phase_matrix(tuple(h.tolist()), up, down, delay)
+    w = r * down
 
     ncyc = -(-(skip + nout) // up)  # total output cycles
     tcyc = int(min(cycle_tile, max(8, ncyc)))
+    tcyc = -(-tcyc // 8) * 8  # Mosaic: 2nd-to-last out dim % 8 == 0
     ncp = -(-ncyc // tcyc) * tcyc  # padded cycles
-    # window for cycle t: xp_idx = down*t + i, i < (tcyc+r-1)*down, where
-    # xp_idx 0 == x index base  ->  left pad = -base (>=0 unless base>0)
+    # window for cycle t: xp_idx = down*t + i, i < r*down, xp_idx 0 == x
+    # index base  ->  left pad = -base (when base < 0)
     lpad = max(0, -base)
     shift = base + lpad  # >= 0: samples of x to skip at xp start
-    need = down * (ncp - 1) + (tcyc + r - 1) * down  # generous upper bound
-    rpad = max(0, need + shift - lpad - n + 1)
+    nrows = ncp + r  # row t covers xp[down*t : down*(t+1))
+    need = nrows * down
+    rpad = max(0, need + shift - lpad - n)
     xp = jnp.concatenate(
         [jnp.zeros((b, lpad), x.dtype), xf, jnp.zeros((b, rpad), x.dtype)], axis=-1
     )
@@ -163,23 +141,31 @@ def resample_mac(
     bp = -(-b // tb) * tb
     if bp != b:
         xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
-    m = jnp.asarray(m_np, x.dtype)
-    nt = ncp // tcyc
-    grid = (bp // tb, nt)
+    # XLA-side V build: down-aligned rows, R shifted row views concatenated
+    # on the last axis (layout prep the kernel cannot do itself).  Pad the
+    # window width to a lane multiple for clean MXU tiling.
+    x3 = xp[:, : nrows * down].reshape(bp, nrows, down)
+    v = jnp.concatenate([x3[:, q : q + ncp, :] for q in range(r)], axis=-1)
+    wp = -(-w // 128) * 128
+    if wp != w:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, wp - w)))
+    m_pad = np.zeros((wp, up))
+    m_pad[:w] = m_np.T
+    m = jnp.asarray(m_pad, x.dtype)
+
+    grid = (bp // tb, ncp // tcyc)
     y = pl.pallas_call(
-        functools.partial(_resample_kernel, tcyc, r, down, up, nt),
+        _resample_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(m.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tcyc, wp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, up), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tb, tcyc * up), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tb, tcyc, up), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, ncp * up), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tb, (tcyc + r - 1) * down), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((bp, ncp, up), x.dtype),
         interpret=_interpret(),
-    )(xp, m)
+    )(v, m)
+    y = y.reshape(bp, ncp * up)
     return y[:b, skip : skip + nout].reshape(batch + (nout,))

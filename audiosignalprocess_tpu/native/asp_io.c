@@ -1,0 +1,261 @@
+/* asp_io.c — native WAV (RIFF) I/O + block ring buffer.
+ *
+ * The runtime-side native component of the framework (the reference's I/O
+ * layer is C; SURVEY.md §2 row 1): RIFF header parse, PCM16/24/32/float32
+ * decode to planar float32, encode back, and a lock-free single-producer/
+ * single-consumer ring buffer used by the streaming demo drivers
+ * (BASELINE.json:11) to overlap host decode with device compute.
+ *
+ * Written from scratch; build: cc -O2 -shared -fPIC -o libasp_io.so asp_io.c
+ */
+
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+/* ---------------- WAV decode ---------------- */
+
+typedef struct {
+    int sample_rate;
+    int num_channels;
+    long num_frames;
+    int bits;
+    int float_fmt;
+} asp_wav_info;
+
+static uint32_t rd_u32(const uint8_t *p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16)
+         | ((uint32_t)p[3] << 24);
+}
+static uint16_t rd_u16(const uint8_t *p) {
+    return (uint16_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8));
+}
+
+/* Parse header; returns 0 on success and fills info. */
+int asp_wav_probe(const char *path, asp_wav_info *info) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, f) != 12 || memcmp(hdr, "RIFF", 4) ||
+        memcmp(hdr + 8, "WAVE", 4)) { fclose(f); return -2; }
+    int have_fmt = 0;
+    long data_size = -1;
+    int tag = 0, nch = 0, rate = 0, balign = 0, bits = 0;
+    uint8_t ch[8];
+    while (fread(ch, 1, 8, f) == 8) {
+        uint32_t size = rd_u32(ch + 4);
+        if (!memcmp(ch, "fmt ", 4)) {
+            uint8_t body[40];
+            size_t take = size < sizeof(body) ? size : sizeof(body);
+            if (fread(body, 1, take, f) != take) { fclose(f); return -3; }
+            if (size > take) fseek(f, (long)(size - take), SEEK_CUR);
+            tag = rd_u16(body);
+            nch = rd_u16(body + 2);
+            rate = (int)rd_u32(body + 4);
+            balign = rd_u16(body + 12);
+            bits = rd_u16(body + 14);
+            if (tag == 0xFFFE && size >= 40) tag = rd_u16(body + 24);
+            have_fmt = 1;
+        } else if (!memcmp(ch, "data", 4)) {
+            data_size = (long)size;
+            fseek(f, (long)size, SEEK_CUR);
+        } else {
+            fseek(f, (long)(size + (size & 1)), SEEK_CUR);
+        }
+        if (size & 1 && memcmp(ch, "data", 4)) { /* pad byte already skipped */ }
+    }
+    fclose(f);
+    if (!have_fmt || data_size < 0 || balign == 0) return -4;
+    info->sample_rate = rate;
+    info->num_channels = nch;
+    info->num_frames = data_size / balign;
+    info->bits = bits;
+    info->float_fmt = (tag == 3);
+    return 0;
+}
+
+/* Decode whole file to planar float32 out[ch][frame] (out size nch*nframes).
+ * Returns frames decoded, < 0 on error. */
+long asp_wav_read(const char *path, float *out, long max_frames) {
+    asp_wav_info info;
+    int rc = asp_wav_probe(path, &info);
+    if (rc) return rc;
+    long nf = info.num_frames < max_frames ? info.num_frames : max_frames;
+    int nch = info.num_channels;
+    int bps = info.bits / 8;
+    FILE *f = fopen(path, "rb");
+    if (!f) return -1;
+    /* find data chunk */
+    uint8_t ch[8];
+    fseek(f, 12, SEEK_SET);
+    long data_pos = -1;
+    while (fread(ch, 1, 8, f) == 8) {
+        uint32_t size = rd_u32(ch + 4);
+        if (!memcmp(ch, "data", 4)) { data_pos = ftell(f); break; }
+        fseek(f, (long)(size + (size & 1)), SEEK_CUR);
+    }
+    if (data_pos < 0) { fclose(f); return -5; }
+    fseek(f, data_pos, SEEK_SET);
+    long chunk = 65536;
+    uint8_t *buf = (uint8_t *)malloc((size_t)(chunk * nch * bps));
+    long done = 0;
+    while (done < nf) {
+        long want = nf - done < chunk ? nf - done : chunk;
+        size_t got = fread(buf, (size_t)(nch * bps), (size_t)want, f);
+        if (got == 0) break;
+        for (long i = 0; i < (long)got; i++) {
+            for (int c = 0; c < nch; c++) {
+                const uint8_t *p = buf + (size_t)(i * nch + c) * bps;
+                float v;
+                if (info.float_fmt && info.bits == 32) {
+                    float fv; memcpy(&fv, p, 4); v = fv;
+                } else if (info.bits == 16) {
+                    int16_t s = (int16_t)rd_u16(p);
+                    v = (float)s / 32768.0f;
+                } else if (info.bits == 24) {
+                    int32_t s = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                              | ((uint32_t)p[2] << 16));
+                    if (s >= (1 << 23)) s -= (1 << 24);
+                    v = (float)s / 8388608.0f;
+                } else if (info.bits == 32) {
+                    int32_t s = (int32_t)rd_u32(p);
+                    v = (float)((double)s / 2147483648.0);
+                } else { v = 0.0f; }
+                out[(size_t)c * nf + done + i] = v;
+            }
+        }
+        done += (long)got;
+    }
+    free(buf);
+    fclose(f);
+    return done;
+}
+
+/* Encode planar float32 -> WAV (bits: 16/24/32 PCM, or float_fmt). */
+int asp_wav_write(const char *path, const float *x, int nch, long nframes,
+                  int rate, int bits, int float_fmt) {
+    FILE *f = fopen(path, "wb");
+    if (!f) return -1;
+    int bps = float_fmt ? 4 : bits / 8;
+    if (float_fmt) bits = 32;
+    long balign = nch * bps;
+    long body = nframes * balign;
+    uint8_t hdr[44];
+    memcpy(hdr, "RIFF", 4);
+    uint32_t riff = (uint32_t)(36 + body);
+    memcpy(hdr + 4, &riff, 4);
+    memcpy(hdr + 8, "WAVEfmt ", 8);
+    uint32_t fmtsize = 16;
+    memcpy(hdr + 16, &fmtsize, 4);
+    uint16_t tag = float_fmt ? 3 : 1;
+    uint16_t nch16 = (uint16_t)nch, bits16 = (uint16_t)bits,
+             balign16 = (uint16_t)balign;
+    uint32_t rate32 = (uint32_t)rate, brate = (uint32_t)(rate * balign);
+    memcpy(hdr + 20, &tag, 2);
+    memcpy(hdr + 22, &nch16, 2);
+    memcpy(hdr + 24, &rate32, 4);
+    memcpy(hdr + 28, &brate, 4);
+    memcpy(hdr + 32, &balign16, 2);
+    memcpy(hdr + 34, &bits16, 2);
+    memcpy(hdr + 36, "data", 4);
+    uint32_t body32 = (uint32_t)body;
+    memcpy(hdr + 40, &body32, 4);
+    fwrite(hdr, 1, 44, f);
+    uint8_t *buf = (uint8_t *)malloc((size_t)balign);
+    for (long i = 0; i < nframes; i++) {
+        for (int c = 0; c < nch; c++) {
+            double v = (double)x[(size_t)c * nframes + i];
+            uint8_t *p = buf + (size_t)c * bps;
+            if (float_fmt) {
+                float fv = (float)v; memcpy(p, &fv, 4);
+            } else if (bits == 16) {
+                double s = v * 32768.0;
+                if (s > 32767.0) s = 32767.0;
+                if (s < -32768.0) s = -32768.0;
+                int16_t q = (int16_t)llrint(s);  /* half-to-even, numpy-compatible */
+                memcpy(p, &q, 2);
+            } else if (bits == 24) {
+                double s = v * 8388608.0;
+                if (s > 8388607.0) s = 8388607.0;
+                if (s < -8388608.0) s = -8388608.0;
+                int32_t q = (int32_t)llrint(s);
+                p[0] = (uint8_t)(q & 0xFF);
+                p[1] = (uint8_t)((q >> 8) & 0xFF);
+                p[2] = (uint8_t)((q >> 16) & 0xFF);
+            } else { /* 32-bit PCM */
+                double s = v * 2147483648.0;
+                if (s > 2147483647.0) s = 2147483647.0;
+                if (s < -2147483648.0) s = -2147483648.0;
+                int32_t q = (int32_t)llrint(s);
+                memcpy(p, &q, 4);
+            }
+        }
+        fwrite(buf, 1, (size_t)balign, f);
+    }
+    free(buf);
+    fclose(f);
+    return 0;
+}
+
+/* ---------------- SPSC ring buffer (streaming host pipeline) --------- */
+
+typedef struct {
+    float *data;
+    long capacity;   /* in frames */
+    int nch;
+    volatile long head;  /* written frames (producer) */
+    volatile long tail;  /* consumed frames (consumer) */
+} asp_ring;
+
+asp_ring *asp_ring_create(int nch, long capacity) {
+    asp_ring *r = (asp_ring *)calloc(1, sizeof(asp_ring));
+    r->data = (float *)malloc(sizeof(float) * (size_t)capacity * (size_t)nch);
+    r->capacity = capacity;
+    r->nch = nch;
+    return r;
+}
+
+void asp_ring_destroy(asp_ring *r) {
+    if (r) { free(r->data); free(r); }
+}
+
+long asp_ring_writable(const asp_ring *r) {
+    return r->capacity - (r->head - r->tail);
+}
+
+long asp_ring_readable(const asp_ring *r) {
+    return r->head - r->tail;
+}
+
+/* Push planar x[ch][frames]; returns frames pushed. */
+long asp_ring_push(asp_ring *r, const float *x, long frames) {
+    long can = asp_ring_writable(r);
+    long n = frames < can ? frames : can;
+    for (long i = 0; i < n; i++) {
+        long slot = (r->head + i) % r->capacity;
+        for (int c = 0; c < r->nch; c++)
+            r->data[(size_t)c * r->capacity + slot] = x[(size_t)c * frames + i];
+    }
+    r->head += n;
+    return n;
+}
+
+/* Pop exactly `frames` planar frames into out[ch][frames] (zero-pad short
+ * reads at stream end when `pad` != 0); returns frames popped. */
+long asp_ring_pop(asp_ring *r, float *out, long frames, int pad) {
+    long have = asp_ring_readable(r);
+    long n = frames < have ? frames : have;
+    for (long i = 0; i < n; i++) {
+        long slot = (r->tail + i) % r->capacity;
+        for (int c = 0; c < r->nch; c++)
+            out[(size_t)c * frames + i] = r->data[(size_t)c * r->capacity + slot];
+    }
+    if (pad && n < frames)
+        for (int c = 0; c < r->nch; c++)
+            memset(out + (size_t)c * frames + n, 0,
+                   sizeof(float) * (size_t)(frames - n));
+    r->tail += n;
+    return n;
+}

@@ -33,12 +33,19 @@ def overlap_save(
     nfft: int,
     history: jnp.ndarray | None = None,
     impl: str = fft_ops.DEFAULT_IMPL,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Causal FIR via overlap-save on the last axis; output length == input.
 
     ``history``: optional (..., T-1) previous inputs (streaming); zeros
-    when absent (cold start).
+    when absent (cold start).  ``fused=True`` routes through the fused
+    Pallas kernel (kernels/os_kernel.py): one VMEM-resident
+    rfft -> spectrum-multiply -> irfft pass at the HBM roofline.
     """
+    if fused:
+        from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
+
+        return overlap_save_fused(x, h, nfft, history=history)
     x = jnp.asarray(x)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)

@@ -60,15 +60,18 @@ def sharded_fir(mesh: Mesh, h) -> callable:
 
 
 def sharded_overlap_save(mesh: Mesh, h, nfft: int,
-                         impl: str = fft_ops.DEFAULT_IMPL) -> callable:
+                         impl: str = fft_ops.DEFAULT_IMPL,
+                         fused: bool = False) -> callable:
     """(C, N) -> (C, N) causal FIR via overlap-save with halo exchange
-    (config 4, BASELINE.json:10)."""
+    (config 4, BASELINE.json:10).  ``fused=True`` runs the fused Pallas
+    kernel per shard (halo history feeds the kernel's streaming history)."""
     h = np.asarray(h, np.float64)
     t = len(h)
 
     def local(x):
         ext = halo_left(x, t - 1, "time")
-        return overlap_save(x, h, nfft, history=ext[..., : t - 1], impl=impl)
+        return overlap_save(x, h, nfft, history=ext[..., : t - 1], impl=impl,
+                            fused=fused)
 
     return _smap(mesh, local)
 
@@ -168,7 +171,8 @@ def gate_shard_body(
     pvec = idx * l + jnp.arange(l, dtype=jnp.int32)
     head = jnp.asarray(head_np, dtype)
     tail = jnp.asarray(tail_np, dtype)
-    out_len = n_glob - d  # istft output length
+    # istft output length: nfft + (F-1)*hop for F whole frames
+    out_len = nfft + ((n_glob - nfft) // hop) * hop
     hsel = head[jnp.clip(pvec, 0, d - 1)]
     tsel = tail[jnp.clip(pvec - (out_len - d), 0, d - 1)]
     norm = jnp.where(

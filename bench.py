@@ -7,10 +7,15 @@ line::
 
     {"metric": "...", "value": N, "unit": "samples/s/chip", "vs_baseline": N}
 
+Timing methodology: the chain is iterated ON-DEVICE inside a single jit
+(lax.fori_loop with a data dependency between iterations), so host/tunnel
+round-trip latency and any RPC-level caching cannot distort the number;
+wall time is divided by the iteration count.
+
 The reference publishes no numbers (BASELINE.json:13 "published": {});
-``vs_baseline`` is therefore reported against the natural reference point
-for an audio pipeline: single-channel real-time at 48 kHz (value / 48000 =
-how many real-time 48 kHz channels one chip sustains through the chain).
+``vs_baseline`` is reported against the natural reference point for an
+audio pipeline: single-channel real-time at 48 kHz (value / 48000 = how
+many real-time 48 kHz channels one chip sustains through the chain).
 """
 
 from __future__ import annotations
@@ -25,36 +30,59 @@ def bench_fir_stft_chain(
     channels: int = 64,
     seconds: float = 10.0,
     fs: int = 48000,
-    iters: int = 10,
+    iters: int = 20,
     dtype=np.float32,
+    fused: bool = True,
 ):
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from audiosignalprocess_tpu.cpu_ref import oracle
     from audiosignalprocess_tpu.effects.noise_gate import noise_gate
+    from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
+    from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
     from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 
     n = int(seconds * fs)
     n = (n // 256) * 256  # hop-aligned
     h = oracle.design_fir(64, 0.3)
 
+    if fused:  # fused Pallas kernels: the speed-of-light path
+        def chain(v):
+            y = overlap_save_fused(v, h, 1024)
+            return noise_gate_fused(y, 1024, 256, noise_frames=8)
+    else:
+        def chain(v):
+            y = overlap_save(v, h, 1024)
+            return noise_gate(y, 1024, 256, noise_frames=8)
+
     @jax.jit
-    def chain(x):
-        y = overlap_save(x, h, 1024)
-        return noise_gate(y, 1024, 256, noise_frames=8)
+    def timed_loop(x):
+        def body(_, carry):
+            y = chain(carry)
+            # tiny data dependency: forces sequential execution, changes
+            # the signal by ~1e-7 relative — irrelevant to timing
+            pad = carry.shape[-1] - y.shape[-1]
+            yp = jnp.pad(y, ((0, 0), (0, pad))) if pad else y
+            return carry + 1e-12 * yp
+
+        # scalar checksum: fetching it to the host forces full execution
+        # (block_until_ready alone does not await completion on remote/
+        # relayed execution backends)
+        return jnp.sum(jnp.abs(lax.fori_loop(0, iters, body, x)[:, :256]))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((channels, n)).astype(dtype))
+    # distinct timed input so an RPC-level result cache (remote/tunneled
+    # execution) cannot serve the warm-up answer again
+    x2 = jnp.asarray(rng.standard_normal((channels, n)).astype(dtype))
 
-    # warmup/compile
-    jax.block_until_ready(chain(x))
-
+    float(timed_loop(x))  # compile + warm (host fetch = full sync)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = chain(x)
-    jax.block_until_ready(out)
+    checksum = float(timed_loop(x2))
     dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(checksum)
 
     total_samples = channels * n
     return total_samples / dt

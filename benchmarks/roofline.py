@@ -26,24 +26,37 @@ from audiosignalprocess_tpu.utils.metrics import detect_chip, fft_roofline_bytes
 
 
 def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
+    """On-device iteration loop with a data dependency + scalar-checksum
+    host fetch: remote/relayed execution backends neither run identical
+    RPCs twice nor block in block_until_ready, so naive host-loop timing
+    reads as pure dispatch latency."""
     rng = np.random.default_rng(0)
     if complex_in:
         x = jnp.asarray(
             (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n)))
             .astype(np.complex64)
         )
-        fn = jax.jit(lambda v: fft_ops.fft(v, impl=impl))
+        op = lambda v: fft_ops.fft(v, impl=impl)
         byts = fft_roofline_bytes(batch, n, 4, complex_io=True)
     else:
         x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-        fn = jax.jit(lambda v: fft_ops.rfft(v, impl=impl))
+        op = lambda v: fft_ops.rfft(v, impl=impl)[..., : n // 2]
         # real in (4B) + complex half-spectrum out (~4B/sample again)
         byts = batch * n * 4 + batch * (n // 2 + 1) * 8
-    jax.block_until_ready(fn(x))
+
+    @jax.jit
+    def loop(v):
+        def body(_, carry):
+            y = op(carry)
+            return carry + 1e-12 * y[..., : carry.shape[-1]].real.astype(carry.dtype) \
+                if not complex_in else carry + 1e-12 * y
+        out = jax.lax.fori_loop(0, iters, body, v)
+        return jnp.sum(jnp.abs(out[..., :64]))
+
+    x2 = x * 1.0001
+    float(loop(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
+    float(loop(x2))
     dt = (time.perf_counter() - t0) / iters
     flops = batch * fft_ops.fft_flops(n)
     return dt, flops / dt / 1e9, byts / dt / 1e9

@@ -78,14 +78,19 @@ def report(name: str, x, out, dt: float | None, snr: float | None, args) -> None
 
 
 def timed(fn, x, iters: int = 5):
+    """Time fn(x): scalar-checksum host fetches force full execution on
+    remote/relayed backends (block_until_ready alone may not await)."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(x))
+    out = fn(x)
+    float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(out)[0][..., :64])))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
-    jax.block_until_ready(out)
-    return out, (time.perf_counter() - t0) / iters
+    for k in range(iters):
+        o = fn(x if k == 0 else x * (1.0 + 1e-6 * k))  # defeat RPC caching
+        float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(o)[0][..., :64])))
+    dt = (time.perf_counter() - t0) / iters
+    return out, dt
 
 
 def maybe_write(args, out, rate: int) -> None:

@@ -66,7 +66,7 @@ def main():
 
     snr = None
     if args.check:
-        full = np.asarray(chain.full(jax.numpy.asarray(np.asarray(x)[:2])))
+        full = np.asarray(jax.jit(chain.full)(jax.numpy.asarray(np.asarray(x)[:2])))
         if args.mode == "stream":
             got = out[:2, lat:]
             snr = snr_db(full[:, : got.shape[-1]], got)
