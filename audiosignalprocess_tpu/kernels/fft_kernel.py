@@ -98,41 +98,112 @@ def _grid_tables(n: int):
             np.cos(tw), np.sin(tw))
 
 
+_MAC_MAX_N1 = 32  # unroll bound for the sublane-MAC n1-side DFT
+
+
+def _dft_sublane_mac(parts, coef, out_len):
+    """DFT along a stacked sublane axis by unrolled scalar-MACs.
+
+    parts: list of (real, imag|None) pairs, each (..., n2) full-lane;
+    coef[a][c] = (cos, sin) scalars.  Returns [(yr_c, yi_c)] stacked lists.
+    Runs entirely on the VPU at full lane width — the n1-side contraction
+    is tiny (n1 <= 32), and an MXU dot here would both waste the systolic
+    array (K = n1) and leave n1-wide (nearly empty) vregs as the minor dim.
+    """
+    outs = []
+    for c in range(out_len):
+        yr = None
+        yi = None
+        for a, (pr, pi) in enumerate(parts):
+            cc, ss = coef[a][c]
+            tr = pr * cc if cc != 0.0 else None
+            if pi is not None and ss != 0.0:
+                tr = (pi * ss) if tr is None else tr + pi * ss
+            ti = None
+            if pi is not None and cc != 0.0:
+                ti = pi * cc
+            if ss != 0.0:
+                ti = (-(pr * ss)) if ti is None else ti - pr * ss
+            yr = tr if yr is None else (yr if tr is None else yr + tr)
+            yi = ti if yi is None else (yi if ti is None else yi + ti)
+        outs.append((yr, yi))
+    return outs
+
+
 def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     """Forward four-step FFT, grid in -> grid out: (..., n1, n2) planar
     [a, b] grids of x[a*n2+b] -> (..., n1, n2) grids G[..., c, d] =
     S[n1*d + c] (spectrum, unnormalized).
 
-    Grid-in/grid-out keeps every in-kernel op on sublane axes (Mosaic
-    cannot lane-reshape); flat<->grid conversion happens in XLA or via DMA
-    of pre-shaped HBM arrays.  ``xi=None`` for real input (saves half the
-    first-stage matmuls).
+    Layout strategy (Mosaic cannot lane-reshape, and narrow-lane tensors
+    kill VPU efficiency): the n1-side DFT runs as unrolled sublane MACs
+    producing (..., c, b) with the FULL n2 lane width, the twiddle is an
+    elementwise [c, b] grid multiply, and only the n2-side DFT — a
+    K=n2 contraction, the shape the MXU is built for — is a dot_general.
+    ``xi=None`` for real input (halves the MAC count).
+    (c1, s1) are the POSITIVE-angle n1 DFT tables; forward conjugation is
+    applied in here.  (tbc, tbs) are [b, c] twiddle grids (transposed
+    in-place — they are small constants).
     """
     acc = xr.dtype
-    X_r = xr  # (..., a, b)
-    dn1 = (((X_r.ndim - 2,), (0,)), ((), ()))  # contract a
-    yr = _dot(X_r, c1, dn1, acc)               # (..., b, c)
-    yi = -_dot(X_r, s1, dn1, acc)
-    if xi is not None:
-        X_i = xi
-        yr = yr + _dot(X_i, s1, dn1, acc)
-        yi = yi + _dot(X_i, c1, dn1, acc)
-    # twiddle e^{-2pi i cb/n}: grids laid out [b, c]
-    zr = yr * tbc + yi * tbs
-    zi = yi * tbc - yr * tbs
-    dn2 = (((zr.ndim - 2,), (0,)), ((), ()))   # contract b
+    assert n1 <= _MAC_MAX_N1, "n1-side unroll bound exceeded"
+    parts = [(xr[..., a, :], None if xi is None else xi[..., a, :])
+             for a in range(n1)]
+    # _dft_sublane_mac multiplies by (cc - i*ss): positive-angle coef
+    # tables give the forward e^{-i theta}
+    coef = _np_coef(n1, sign=+1.0)
+    zs = _dft_sublane_mac(parts, coef, n1)   # list of (..., b) pairs, index c
+    # twiddle e^{-2pi i cb/n} row c, then stack -> (..., c, b)
+    tcb_r = jnp.transpose(tbc)
+    tcb_s = jnp.transpose(tbs)
+    zr_rows = []
+    zi_rows = []
+    for c, (yr, yi) in enumerate(zs):
+        tr = tcb_r[c]
+        ts = tcb_s[c]
+        if yi is None:
+            zr_rows.append(yr * tr)
+            zi_rows.append(-(yr * ts))
+        else:
+            zr_rows.append(yr * tr + yi * ts)
+            zi_rows.append(yi * tr - yr * ts)
+    zr = jnp.stack(zr_rows, axis=-2)  # (..., c, b) full-lane
+    zi = jnp.stack(zi_rows, axis=-2)
+    dn2 = (((zr.ndim - 1,), (0,)), ((), ()))   # contract b (lane, K=n2)
     sr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)   # (..., c, d)
     si = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
     return sr, si
 
 
+@functools.lru_cache(maxsize=None)
+def _np_coef(n1: int, sign: float):
+    """Scalar DFT coefficients coef[a][c] = (cos, sign*-sin ... ) — returns
+    (cos, sin) of sign*2*pi*a*c/n1 as python floats (exact zeros kept)."""
+    out = []
+    for a in range(n1):
+        row = []
+        for c in range(n1):
+            ang = sign * 2.0 * np.pi * ((a * c) % n1) / n1
+            cc = float(np.cos(ang))
+            ss = float(np.sin(ang))
+            if abs(cc) < 1e-15:
+                cc = 0.0
+            if abs(ss) < 1e-15:
+                ss = 0.0
+            row.append((cc, ss))
+        out.append(row)
+    return out
+
+
 def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     """Inverse four-step from GRID spectrum (..., n1, n2) [c, d] back to the
     REAL signal in GRID layout (..., n1, n2) [a, b] of y[a*n2+b], scaled
-    1/n.  Grid-in/grid-out (see fourstep_grid_fwd)."""
+    1/n.  Same layout strategy as fourstep_grid_fwd (sublane-MAC n1 side,
+    MXU n2 side, full-lane intermediates)."""
     acc = pr.dtype
+    assert n1 <= _MAC_MAX_N1, "n1-side unroll bound exceeded"
     n = n1 * n2
-    dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane axis)
+    dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane, K=n2)
     ur = _dot(pr, c2, dn1, acc) - _dot(pi, s2, dn1, acc)   # (..., c, b)
     ui = _dot(pi, c2, dn1, acc) + _dot(pr, s2, dn1, acc)
     # twiddle e^{+2pi i cb/n}: [c, b] grids = transposes of (tbc, tbs)
@@ -140,13 +211,23 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     tsb = jnp.transpose(tbs)
     vr = ur * tcb - ui * tsb
     vi = ui * tcb + ur * tsb
-    # contract c (sublane) with F1^{+} = c1 + i s1 -> (..., b, a); data
-    # stays the dot LHS (Mosaic flattens multi-dim rhs free axes otherwise)
-    nd = vr.ndim
-    dn2 = (((nd - 2,), (0,)), ((), ()))
-    wr = _dot(vr, c1, dn2, acc) - _dot(vi, s1, dn2, acc)   # (..., b, a)
-    perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
-    y3 = jnp.transpose(wr, perm)                           # (..., a, b)
+    # n1-side inverse DFT (e^{+i...}) along the sublane c axis, real output
+    coef = _np_coef(n1, sign=+1.0)
+    rows = []
+    for a in range(n1):
+        yr = None
+        for c in range(n1):
+            cc, ss = coef[c][a]
+            t = None
+            if cc != 0.0:
+                t = vr[..., c, :] * cc
+            if ss != 0.0:
+                t2 = vi[..., c, :] * ss
+                t = -t2 if t is None else t - t2
+            if t is not None:
+                yr = t if yr is None else yr + t
+        rows.append(yr)
+    y3 = jnp.stack(rows, axis=-2)  # (..., a, b)
     return y3 * (1.0 / n)
 
 
@@ -274,7 +355,13 @@ def _radix2_kernel(n, xr_ref, xi_ref, twc_ref, tws_ref, or_ref, oi_ref):
 
 def fft_radix2_stages(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     """Batched radix-2 DIT FFT: bit-reversal permute (XLA gather) + all
-    log2(n) butterfly stages in ONE Pallas kernel (VMEM-resident)."""
+    log2(n) butterfly stages in ONE Pallas kernel (VMEM-resident).
+
+    STRUCTURAL path: mirrors the classic C in-place loop exactly.  Its
+    stage reshapes split the lane dimension, which Mosaic cannot lower, so
+    this kernel always runs through the Pallas interpreter (plain XLA ops)
+    — on TPU hardware the butterfly structure lives in the four-step
+    kernel's sublane-MAC stage instead (the performance path)."""
     assert xr.ndim == 2 and xr.shape == xi.shape
     b, n = xr.shape
     assert n & (n - 1) == 0 and n >= 2
@@ -298,7 +385,7 @@ def fft_radix2_stages(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
         in_specs=[bs_x, bs_x, bs_t, bs_t],
         out_specs=(bs_x, bs_x),
         out_shape=(jax.ShapeDtypeStruct((bp, n), dt), jax.ShapeDtypeStruct((bp, n), dt)),
-        interpret=_interpret(),
+        interpret=True,  # structural path: see docstring
     )(xr, xi, twc, tws)
     return yr[:b], yi[:b]
 

@@ -33,15 +33,17 @@ def _interpret() -> bool:
     )
 
 
-def _fir_kernel(t, tile, nt, x_hbm, h_ref, o_ref, xwin, sem):
-    """Grid (batch_tiles, time_tiles); xwin: (2, tb, tile+t-1) double buffer."""
+def _fir_kernel(t, tile, nt, pref, x_hbm, h_ref, o_ref, xwin, sem):
+    """Grid (batch_tiles, time_tiles); xwin: (2, tb, tile+pref) double buffer.
+    ``pref`` = roundup(t-1, 128): the DMA window is lane-aligned; the tap
+    shift offsets inside VMEM are free-form (lane rotates)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     tb = o_ref.shape[0]
 
     def fetch(slot, jj):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * tile, tile + t - 1)],
+            x_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * tile, tile + pref)],
             xwin.at[slot],
             sem.at[slot],
         )
@@ -58,9 +60,9 @@ def _fir_kernel(t, tile, nt, x_hbm, h_ref, o_ref, xwin, sem):
 
     fetch(slot, j).wait()
     x = xwin[slot]
-    acc = h_ref[0, 0] * x[:, t - 1 : t - 1 + tile]
+    acc = h_ref[0, 0] * x[:, pref : pref + tile]
     for k in range(1, t):
-        acc = acc + h_ref[0, k] * x[:, t - 1 - k : t - 1 - k + tile]
+        acc = acc + h_ref[0, k] * x[:, pref - k : pref - k + tile]
     o_ref[:] = acc
 
 
@@ -84,17 +86,21 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
         head = jnp.asarray(history).reshape((-1, t - 1)).astype(x.dtype)
     tile = int(min(time_tile, max(128, n)))
     tile = -(-tile // 128) * 128  # Mosaic: last out dim % 128 == 0
+    pref = -(-(t - 1) // 128) * 128  # lane-aligned DMA window prefix
     npad = -(-n // tile) * tile
     tb = int(min(batch_tile, b))
     bp = -(-b // tb) * tb
-    xp = jnp.concatenate([head, xf, jnp.zeros((b, npad - n), x.dtype)], axis=-1)
+    xp = jnp.concatenate([
+        jnp.zeros((b, pref - (t - 1)), x.dtype), head, xf,
+        jnp.zeros((b, npad - n), x.dtype),
+    ], axis=-1)
     if bp != b:
         xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
     hrow = jnp.asarray(h, x.dtype).reshape(1, t)
     nt = npad // tile
     grid = (bp // tb, nt)
     y = pl.pallas_call(
-        functools.partial(_fir_kernel, t, tile, nt),
+        functools.partial(_fir_kernel, t, tile, nt, pref),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -104,7 +110,7 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, npad), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, tile + t - 1), x.dtype),
+            pltpu.VMEM((2, tb, tile + pref), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),

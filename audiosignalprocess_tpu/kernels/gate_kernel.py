@@ -121,7 +121,7 @@ def noise_gate_fused(
     noise_frames: int = 8,
     window_kind: str = "hann",
     frames_per_step: int = 8,
-    batch_tile: int = 8,
+    batch_tile: int = 32,
 ) -> jnp.ndarray:
     """Fused-gate drop-in for effects.noise_gate (release=0 path).
 

@@ -88,8 +88,8 @@ def overlap_save_fused(
     h,
     nfft: int,
     history: jnp.ndarray | None = None,
-    blocks_per_step: int = 4,
-    batch_tile: int = 8,
+    blocks_per_step: int = 8,
+    batch_tile: int = 32,
 ) -> jnp.ndarray:
     """Causal FIR via the fused Pallas overlap-save kernel.
 

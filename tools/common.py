@@ -93,6 +93,18 @@ def timed(fn, x, iters: int = 5):
     return out, dt
 
 
+def to_host(out) -> np.ndarray:
+    """Fetch a (possibly globally-sharded) array to the host: multi-process
+    arrays span non-addressable devices, so allgather across processes."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    return np.asarray(out)
+
+
 def maybe_write(args, out, rate: int) -> None:
     if args.output:
         write_wav(args.output, np.asarray(out), rate, float_fmt=True)

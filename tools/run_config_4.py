@@ -17,7 +17,7 @@ from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.parallel.launch import initialize
 from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
 from audiosignalprocess_tpu.parallel.sharded import sharded_overlap_save
-from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed
+from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed, to_host
 
 RATE = 96000
 CHANNELS = 64
@@ -56,7 +56,7 @@ def main():
         xs = x
 
     out, dt = timed(fn, xs) if args.bench else (fn(xs), None)
-    out = np.asarray(out)
+    out = to_host(out)
 
     snr = None
     if args.check:

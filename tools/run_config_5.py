@@ -18,7 +18,7 @@ from audiosignalprocess_tpu.parallel.sharded import sharded_chain
 from audiosignalprocess_tpu.pipeline import (
     Chain, EnvelopeStage, FIRStage, GateStage, ResampleStage,
 )
-from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed
+from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed, to_host
 
 RATE_IN, RATE_OUT = 44100, 48000
 CHANNELS = 128
@@ -50,6 +50,7 @@ def main():
     if args.mode == "stream":
         n = (x.shape[-1] // BLOCK) * BLOCK
         x = x[:, :n]
+        x_host = np.asarray(x)
         fn = jax.jit(lambda v: chain.stream(v, BLOCK))
     else:
         ndev = len(jax.devices())
@@ -57,16 +58,17 @@ def main():
         per = 147 * 32
         n = (x.shape[-1] // (tm * per)) * (tm * per)
         x = x[:, :n]
+        x_host = np.asarray(x)
         mesh = make_mesh(channel=1, time=tm)
         fn = sharded_chain(mesh, chain)
         x = shard_audio(x, mesh)
 
     out, dt = timed(fn, x) if args.bench else (fn(x), None)
-    out = np.asarray(out)
+    out = to_host(out)
 
     snr = None
     if args.check:
-        full = np.asarray(jax.jit(chain.full)(jax.numpy.asarray(np.asarray(x)[:2])))
+        full = np.asarray(jax.jit(chain.full)(jax.numpy.asarray(x_host[:2])))
         if args.mode == "stream":
             got = out[:2, lat:]
             snr = snr_db(full[:, : got.shape[-1]], got)
@@ -75,7 +77,7 @@ def main():
         assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
 
     maybe_write(args, out, RATE_OUT)
-    report(f"config5_streaming_{CHANNELS}ch_{args.mode}", np.asarray(x), out, dt, snr, args)
+    report(f"config5_streaming_{CHANNELS}ch_{args.mode}", x_host, out, dt, snr, args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""On-hardware kernel self-check: every Pallas kernel COMPILED for the
+TPU (not interpret mode) vs the float64 oracle, >= 60 dB (BASELINE.json:5).
+
+Run on a chip: python tools/tpu_selfcheck.py
+(Complex arrays are kept planar throughout — some TPU transports do not
+implement complex host<->device transfers.)
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from audiosignalprocess_tpu.cpu_ref import oracle
+    from audiosignalprocess_tpu.kernels.fft_kernel import fft_fourstep
+    from audiosignalprocess_tpu.kernels.fir_kernel import fir_mac
+    from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
+    from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
+    from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
+
+    rng = np.random.default_rng(0)
+    h = oracle.design_fir(64, 0.3)
+    results = {"backend": jax.default_backend()}
+
+    xr_ = rng.standard_normal((16, 1024)).astype(np.float32)
+    xi_ = rng.standard_normal((16, 1024)).astype(np.float32)
+    yr, yi = jax.jit(lambda a, b: fft_fourstep(a, b, -1.0))(xr_, xi_)
+    oc = np.asarray(yr) + 1j * np.asarray(yi)
+    rc = np.fft.fft(xr_.astype(np.float64) + 1j * xi_.astype(np.float64))
+    err = np.abs(rc - oc)
+    results["fft_fourstep"] = round(
+        10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(err**2)), 1)
+
+    x = rng.standard_normal((4, 48000)).astype(np.float32)
+    out = np.asarray(jax.jit(lambda v: overlap_save_fused(v, h, 1024))(x))
+    ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h) for i in range(4)])
+    results["overlap_save_fused"] = round(oracle.snr_db(ref, out), 1)
+
+    xg = 0.01 * rng.standard_normal((4, 48128)).astype(np.float32)
+    xg[:, 16000:32000] += np.sin(
+        2 * np.pi * 440 * np.arange(16000) / 48000).astype(np.float32)
+    og = np.asarray(jax.jit(lambda v: noise_gate_fused(v))(xg))
+    rg = np.stack([oracle.noise_gate(xg[i].astype(np.float64)) for i in range(4)])
+    results["noise_gate_fused"] = round(oracle.snr_db(rg, og[:, : rg.shape[-1]]), 1)
+
+    xs = rng.standard_normal((2, 14700)).astype(np.float32)
+    orr = np.asarray(jax.jit(lambda v: resample_mac(v, 160, 147))(xs))
+    rr = np.stack([
+        oracle.resample_poly(xs[i].astype(np.float64), 160, 147) for i in range(2)
+    ])
+    results["resample_mac"] = round(oracle.snr_db(rr, orr), 1)
+
+    xf = rng.standard_normal((2, 8000)).astype(np.float32)
+    off = np.asarray(jax.jit(lambda v: fir_mac(v, h))(xf))
+    rf = np.stack([oracle.fir_direct(xf[i].astype(np.float64), h) for i in range(2)])
+    results["fir_mac"] = round(oracle.snr_db(rf, off), 1)
+
+    ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
+    results["all_pass_60db"] = ok
+    print(json.dumps(results))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
