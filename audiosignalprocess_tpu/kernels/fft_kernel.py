@@ -64,15 +64,25 @@ def _tables_fourstep(n: int, sign: float):
 
 
 def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
-    """Batch rows per grid step: keep ~6 (tile, n) planes under ~12 MB VMEM."""
-    budget = 12 * 1024 * 1024 // (6 * n * dtype_bytes)
-    return int(np.clip((budget // 8) * 8, 8, 512))
+    """Batch rows per grid step.  Mosaic accounts kernel temporaries
+    conservatively (little buffer reuse across the unrolled four-step),
+    so budget ~24 live (tile, n) planes."""
+    budget = 12 * 1024 * 1024 // (24 * n * dtype_bytes)
+    return int(np.clip((budget // 8) * 8, 8, 64))
+
+
+def _precision():
+    """MXU precision for the kernel matmuls.  HIGHEST (6 bf16 passes,
+    full f32) by default; ASP_MATMUL_PRECISION=high selects 3 passes
+    (~f32 for short contractions, ~2x matmul throughput)."""
+    name = os.environ.get("ASP_MATMUL_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
 
 
 def _dot(a, b, dn, acc_dt):
     return jax.lax.dot_general(a, b, dimension_numbers=dn,
                                preferred_element_type=acc_dt,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_precision())
 
 
 def _sublane_merge(y):
@@ -146,7 +156,21 @@ def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     in-place — they are small constants).
     """
     acc = xr.dtype
-    assert n1 <= _MAC_MAX_N1, "n1-side unroll bound exceeded"
+    if n1 > _MAC_MAX_N1:
+        # large-n1 fallback: n1-side as a dot_general (correct but slower:
+        # K=n1 MXU utilization + narrow-lane intermediates)
+        dn1 = (((xr.ndim - 2,), (0,)), ((), ()))  # contract a
+        yr = _dot(xr, c1, dn1, acc)               # (..., b, c)
+        yi = -_dot(xr, s1, dn1, acc)
+        if xi is not None:
+            yr = yr + _dot(xi, s1, dn1, acc)
+            yi = yi + _dot(xi, c1, dn1, acc)
+        zr = yr * tbc + yi * tbs
+        zi = yi * tbc - yr * tbs
+        dn2 = (((zr.ndim - 2,), (0,)), ((), ()))  # contract b
+        sr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)
+        si = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
+        return sr, si
     parts = [(xr[..., a, :], None if xi is None else xi[..., a, :])
              for a in range(n1)]
     # _dft_sublane_mac multiplies by (cc - i*ss): positive-angle coef
@@ -201,7 +225,6 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     1/n.  Same layout strategy as fourstep_grid_fwd (sublane-MAC n1 side,
     MXU n2 side, full-lane intermediates)."""
     acc = pr.dtype
-    assert n1 <= _MAC_MAX_N1, "n1-side unroll bound exceeded"
     n = n1 * n2
     dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane, K=n2)
     ur = _dot(pr, c2, dn1, acc) - _dot(pi, s2, dn1, acc)   # (..., c, b)
@@ -211,6 +234,13 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     tsb = jnp.transpose(tbs)
     vr = ur * tcb - ui * tsb
     vi = ui * tcb + ur * tsb
+    if n1 > _MAC_MAX_N1:
+        # large-n1 fallback: contract c by dot, minor-transpose to (a, b)
+        nd = vr.ndim
+        dn2 = (((nd - 2,), (0,)), ((), ()))
+        wr = _dot(vr, c1, dn2, acc) - _dot(vi, s1, dn2, acc)   # (..., b, a)
+        perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+        return jnp.transpose(wr, perm) * (1.0 / n)
     # n1-side inverse DFT (e^{+i...}) along the sublane c axis, real output
     coef = _np_coef(n1, sign=+1.0)
     rows = []
@@ -298,6 +328,8 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
         out_specs=(bs_out, bs_out),
         out_shape=(jax.ShapeDtypeStruct((bp, n2, n1), dt),
                    jax.ShapeDtypeStruct((bp, n2, n1), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(xr, xi, *tabs)
     return yr.reshape(bp, n)[:b], yi.reshape(bp, n)[:b]

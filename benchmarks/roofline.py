@@ -31,16 +31,18 @@ def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
     RPCs twice nor block in block_until_ready, so naive host-loop timing
     reads as pure dispatch latency."""
     rng = np.random.default_rng(0)
+    # host<->device stays REAL throughout (some TPU transports do not
+    # implement complex transfers); complex values are formed on-device.
+    x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
     if complex_in:
-        x = jnp.asarray(
-            (rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n)))
-            .astype(np.complex64)
-        )
-        op = lambda v: fft_ops.fft(v, impl=impl)
+        def op(vr):
+            y = fft_ops.fft(vr + 1j * (0.5 * vr), impl=impl)
+            return jnp.real(y) + jnp.imag(y)
         byts = fft_roofline_bytes(batch, n, 4, complex_io=True)
     else:
-        x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-        op = lambda v: fft_ops.rfft(v, impl=impl)[..., : n // 2]
+        def op(vr):
+            y = fft_ops.rfft(vr, impl=impl)
+            return (jnp.real(y) + jnp.imag(y))[..., : n]
         # real in (4B) + complex half-spectrum out (~4B/sample again)
         byts = batch * n * 4 + batch * (n // 2 + 1) * 8
 
@@ -48,18 +50,43 @@ def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
     def loop(v):
         def body(_, carry):
             y = op(carry)
-            return carry + 1e-12 * y[..., : carry.shape[-1]].real.astype(carry.dtype) \
-                if not complex_in else carry + 1e-12 * y
+            return carry + 1e-12 * y[..., : carry.shape[-1]]
         out = jax.lax.fori_loop(0, iters, body, v)
         return jnp.sum(jnp.abs(out[..., :64]))
 
     x2 = x * 1.0001
     float(loop(x))  # compile + warm
-    t0 = time.perf_counter()
-    float(loop(x2))
-    dt = (time.perf_counter() - t0) / iters
+    best = np.inf
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(loop(x2 * (1.0 + 1e-6 * r)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    dt = best
     flops = batch * fft_ops.fft_flops(n)
     return dt, flops / dt / 1e9, byts / dt / 1e9
+
+
+def measure_achievable_gbps(iters: int = 16) -> float:
+    """Measured elementwise HBM bandwidth (read+write a 256 MB array):
+    the honest speed-of-light denominator.  Shared/relayed or throttled
+    devices can deliver a small fraction of the spec-sheet number; kernel
+    efficiency must be judged against what the chip actually sustains."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, 1 << 20)).astype(np.float32))
+
+    @jax.jit
+    def ew(v):
+        def body(_, c):
+            return c * 0.999999 + 1e-9
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, v)[:, :64])
+
+    float(ew(x))
+    best = np.inf
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(ew(x * (1.0 + 1e-6 * r)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return 2 * x.size * 4 / best / 1e9
 
 
 def main():
@@ -71,26 +98,32 @@ def main():
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
     chip = detect_chip()
+    meas = measure_achievable_gbps()
     rows = []
     for impl in args.impls.split(","):
         for n in map(int, args.sizes.split(",")):
             dt, gflops, gbps = bench_fft(impl, args.batch, n,
                                          complex_in=not args.rfft)
-            frac = gbps / chip.hbm_gbps
             rows.append(dict(impl=impl, n=n, batch=args.batch,
                              ms=round(dt * 1e3, 3), gflops=round(gflops, 1),
                              hbm_gbps=round(gbps, 1),
-                             roofline_frac=round(frac, 3)))
+                             roofline_frac=round(gbps / chip.hbm_gbps, 3),
+                             measured_frac=round(gbps / meas, 3)))
     if args.json:
+        print(json.dumps({"achievable_gbps": round(meas, 1),
+                          "spec_gbps": chip.hbm_gbps}))
         for r in rows:
             print(json.dumps(r))
     else:
-        hdr = f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} {'SoL%':>6}"
-        print(f"chip: {chip.name} (HBM {chip.hbm_gbps} GB/s)")
+        print(f"chip: {chip.name} (HBM spec {chip.hbm_gbps} GB/s, "
+              f"measured achievable {meas:.0f} GB/s)")
+        hdr = (f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} "
+               f"{'SoL/spec':>9} {'SoL/meas':>9}")
         print(hdr)
         for r in rows:
             print(f"{r['impl']:>10} {r['n']:>6} {r['ms']:>8} {r['gflops']:>9} "
-                  f"{r['hbm_gbps']:>8} {100*r['roofline_frac']:>5.1f}%")
+                  f"{r['hbm_gbps']:>8} {100*r['roofline_frac']:>8.1f}% "
+                  f"{100*r['measured_frac']:>8.1f}%")
 
 
 if __name__ == "__main__":

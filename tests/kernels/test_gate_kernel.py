@@ -51,3 +51,10 @@ def test_params(rng):
                                       reduction_db=40.0, noise_frames=4,
                                       window_kind="hamming", frames_per_step=16))[0]
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_nfft_2048(rng):
+    x = _mk(rng, 2, 65536)
+    ref = np.stack([oracle.noise_gate(x[c], nfft=2048, hop=512) for c in range(2)])
+    out = np.asarray(noise_gate_fused(x, nfft=2048, hop=512))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)

@@ -50,3 +50,14 @@ def test_odd_batch_and_length(rng):
     ref = np.stack([oracle.fir_direct(x[i], h) for i in range(5)])
     out = np.asarray(overlap_save_fused(x, h, 512, blocks_per_step=3, batch_tile=2))
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("taps,nfft", ((512, 4096), (4096, 16384)))
+def test_large_nfft(rng, taps, nfft):
+    """nfft 4096 exercises the sublane-MAC n1=32 path; 16384 the
+    large-n1 dot fallback (config 4 shapes, BASELINE.json:10)."""
+    x = rng.standard_normal((2, 4 * nfft))
+    h = oracle.design_fir(taps, 0.1)
+    ref = np.stack([oracle.fir_direct(x[i], h) for i in range(2)])
+    out = np.asarray(overlap_save_fused(x, h, nfft, blocks_per_step=2))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
