@@ -74,12 +74,14 @@ class FIRStage(Stage):
     impl: str = fft_ops.DEFAULT_IMPL
     pre: str | None = None  # "abs" for envelope-style rectification
     post_scale: float = 1.0
+    fused: bool = False  # route overlap-save through the fused Pallas kernel
 
     def _apply(self, x, history):
         if self.pre == "abs":
             x = jnp.abs(x)
         if self.nfft is not None:
-            y = overlap_save(x, self.h, self.nfft, history=history, impl=self.impl)
+            y = overlap_save(x, self.h, self.nfft, history=history,
+                             impl=self.impl, fused=self.fused)
         else:
             y = fir_direct(x, self.h, history=history)
         return y * self.post_scale if self.post_scale != 1.0 else y
@@ -164,6 +166,7 @@ class GateStage(Stage):
     noise_frames: int = 8
     window_kind: str = "hann"
     impl: str = fft_ops.DEFAULT_IMPL
+    fused: bool = False  # fused Pallas gate kernel on the whole-file path
     input_latency: int = 0
 
     def __post_init__(self):
@@ -183,6 +186,7 @@ class GateStage(Stage):
         y = noise_gate(
             x, self.nfft, self.hop, self.threshold_db, self.reduction_db,
             self.noise_frames, 0.0, self.window_kind, self.impl,
+            fused=self.fused,
         )
         pad = x.shape[-1] - y.shape[-1]
         return jnp.concatenate([y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)

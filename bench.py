@@ -32,7 +32,7 @@ def bench_fir_stft_chain(
     fs: int = 48000,
     iters: int = 20,
     dtype=np.float32,
-    fused: bool = True,
+    fused="chain",
 ):
     import jax
     import jax.numpy as jnp
@@ -48,7 +48,12 @@ def bench_fir_stft_chain(
     n = (n // 256) * 256  # hop-aligned
     h = oracle.design_fir(64, 0.3)
 
-    if fused:  # fused Pallas kernels: the speed-of-light path
+    if fused == "chain":  # ONE fully-fused Pallas kernel (speed of light)
+        from audiosignalprocess_tpu.kernels.chain_kernel import fir_noise_gate_fused
+
+        def chain(v):
+            return fir_noise_gate_fused(v, h, 1024, 256, noise_frames=8)
+    elif fused:  # two fused Pallas kernels
         def chain(v):
             y = overlap_save_fused(v, h, 1024)
             return noise_gate_fused(y, 1024, 256, noise_frames=8)

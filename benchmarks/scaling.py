@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Device/host scaling harness (BASELINE.json:2,5: samples/s at 1 chip,
+1 host, N>=2 hosts, with >=90% linear scaling 1->4 hosts as the target).
+
+Runs the sharded config-5-style chain over (channel, time) meshes of
+1, 2, 4, ... devices and reports samples/s plus scaling efficiency vs
+the 1-device run.  On a pod slice this measures real ICI scaling; on a
+single host it sweeps the local chips; with
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``
+it validates the mechanics on virtual devices (functional, not a perf
+claim).  Multi-host: launch one process per host via
+tools/launch_multihost.py with ``--coordinator``.
+
+Timing uses the on-device-loop + scalar-checksum method (see bench.py).
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_mesh(ndev: int, channels: int, per_shard: int, iters: int = 8):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from audiosignalprocess_tpu.cpu_ref import oracle
+    from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
+    from audiosignalprocess_tpu.parallel.sharded import chain_shard_body
+    from audiosignalprocess_tpu.pipeline import Chain, FIRStage, GateStage, ResampleStage
+    from jax.sharding import PartitionSpec as P
+
+    chain = Chain([
+        ResampleStage(up=160, down=147),
+        FIRStage(h=oracle.design_fir(64, 0.3), nfft=1024),
+        GateStage(nfft=1024, hop=256, noise_frames=4),
+    ])
+    chain.build()
+    mesh = make_mesh(channel=1, time=ndev)
+    n = per_shard * ndev
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((channels, n)).astype(np.float32)
+
+    spec = P("channel", "time")
+
+    @jax.jit
+    def loop(v):
+        def body(_, c):
+            y = jax.shard_map(
+                lambda u: chain_shard_body(chain, u),
+                mesh=mesh, in_specs=(spec,), out_specs=spec,
+            )(c)
+            m = min(y.shape[-1], c.shape[-1])
+            pad = c.shape[-1] - m
+            yp = y[:, :m]
+            if pad:
+                yp = jnp.pad(yp, ((0, 0), (0, pad)))
+            return c + 1e-12 * yp
+
+        return jnp.sum(jnp.abs(lax.fori_loop(0, iters, body, v)[:, :128]))
+
+    xs = shard_audio(x, mesh)
+    float(loop(xs))
+    best = np.inf
+    for r in range(2):
+        t0 = time.perf_counter()
+        float(loop(shard_audio(x * (1.0 + 1e-6 * (r + 1)), mesh)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return channels * n / best
+
+
+def main():
+    import jax
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--channels", type=int, default=16)
+    p.add_argument("--per-shard", type=int, default=147 * 64)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+
+    ndev_all = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
+    base = None
+    rows = []
+    for nd in sizes:
+        sps = bench_mesh(nd, args.channels, args.per_shard)
+        if base is None:
+            base = sps
+        eff = sps / (base * nd)
+        rows.append(dict(devices=nd, samples_per_s=round(sps, 1),
+                         scaling_eff=round(eff, 3)))
+    for r in rows:
+        if args.json:
+            print(json.dumps(r))
+        else:
+            print(f"devices={r['devices']:>3}  {r['samples_per_s']/1e6:10.2f} M samples/s"
+                  f"  eff={100*r['scaling_eff']:.1f}%")
+
+
+if __name__ == "__main__":
+    main()

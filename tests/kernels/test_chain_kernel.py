@@ -1,0 +1,50 @@
+"""Fully-fused FIR+gate chain kernel vs the oracle chain (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.kernels.chain_kernel import fir_noise_gate_fused
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(47)
+
+
+def _mk(rng, c, n, fs=48000):
+    t = np.arange(n) / fs
+    x = 0.01 * rng.standard_normal((c, n))
+    x += np.where((t > 0.25 * n / fs) & (t < 0.7 * n / fs),
+                  np.sin(2 * np.pi * 440.0 * t), 0.0)
+    return x
+
+
+def _oracle_chain(x, h, **kw):
+    return oracle.noise_gate(oracle.fir_direct(x, h), **kw)
+
+
+@pytest.mark.parametrize("n", (48128, 16384 + 256 * 3))
+def test_vs_oracle_f64(rng, n):
+    x = _mk(rng, 2, n)
+    h = oracle.design_fir(64, 0.3)
+    ref = np.stack([_oracle_chain(x[c], h) for c in range(2)])
+    out = np.asarray(fir_noise_gate_fused(x, h, frames_per_step=8, batch_tile=2))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_f32_snr(rng):
+    x = _mk(rng, 4, 32768).astype(np.float32)
+    h = oracle.design_fir(64, 0.3)
+    ref = np.stack([_oracle_chain(x[c].astype(np.float64), h) for c in range(4)])
+    out = np.asarray(fir_noise_gate_fused(x, h))
+    assert oracle.snr_db(ref, out) >= 60.0
+
+
+def test_long_taps(rng):
+    x = _mk(rng, 1, 32768)
+    h = oracle.design_fir(384, 0.2)
+    ref = _oracle_chain(x[0], h)
+    out = np.asarray(fir_noise_gate_fused(x, h, frames_per_step=8))[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)

@@ -125,3 +125,24 @@ class TestFullChain:
                 outs.append(np.asarray(y))
         ref = np.asarray(chain.full(x))
         np.testing.assert_allclose(np.concatenate(outs), ref, rtol=1e-8, atol=1e-8)
+
+
+class TestFusedStages:
+    def test_fir_stage_fused_matches(self, rng):
+        x = rng.standard_normal((2, 8192)).astype(np.float32)
+        h = oracle.design_fir(64, 0.25)
+        a = Chain([FIRStage(h=h, nfft=1024)]); a.build()
+        b = Chain([FIRStage(h=h, nfft=1024, fused=True)]); b.build()
+        ya, yb = np.asarray(a.full(x)), np.asarray(b.full(x))
+        assert oracle.snr_db(ya.astype(np.float64), yb.astype(np.float64)) >= 100.0
+
+    def test_gate_stage_fused_matches(self, rng):
+        x = (0.01 * rng.standard_normal((2, 48128))).astype(np.float32)
+        x[:, 16000:32000] += np.sin(
+            2 * np.pi * 440 * np.arange(16000) / 48000
+        ).astype(np.float32)
+        a = Chain([GateStage()]); a.build()
+        b = Chain([GateStage(fused=True)]); b.build()
+        ya, yb = np.asarray(a.full(x)), np.asarray(b.full(x))
+        assert oracle.snr_db(ya.astype(np.float64) + 1e-30,
+                             yb.astype(np.float64) + 1e-30) >= 100.0
