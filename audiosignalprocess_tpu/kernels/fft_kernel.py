@@ -46,23 +46,6 @@ def _split_n(n: int) -> tuple[int, int]:
     return n // n2, n2
 
 
-@functools.lru_cache(maxsize=None)
-def _tables_fourstep(n: int, sign: float):
-    """(F1 cos/sin, F2 cos/sin, twiddle cos/sin) float64 design-time."""
-    n1, n2 = _split_n(n)
-    jk1 = np.outer(np.arange(n1), np.arange(n1))
-    jk2 = np.outer(np.arange(n2), np.arange(n2))
-    cb = np.outer(np.arange(n1), np.arange(n2))
-    a1 = sign * 2.0 * np.pi * jk1 / n1
-    a2 = sign * 2.0 * np.pi * jk2 / n2
-    at = sign * 2.0 * np.pi * cb / n
-    return (
-        np.cos(a1), np.sin(a1),
-        np.cos(a2), np.sin(a2),
-        np.cos(at), np.sin(at),
-    )
-
-
 def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
     """Batch rows per grid step.  Mosaic accounts kernel temporaries
     conservatively (little buffer reuse across the unrolled four-step),
