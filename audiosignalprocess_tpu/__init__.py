@@ -27,3 +27,4 @@ __version__ = "0.1.0"
 from audiosignalprocess_tpu.ops import windows, fft, stft, fir, overlap_save, resample  # noqa: F401
 from audiosignalprocess_tpu import effects, parallel, io  # noqa: F401
 from audiosignalprocess_tpu.pipeline import Chain  # noqa: F401
+from audiosignalprocess_tpu import api, kernels  # noqa: F401

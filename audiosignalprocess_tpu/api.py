@@ -1,0 +1,109 @@
+"""File-level one-shot API (SURVEY.md §1a "Drivers" layer).
+
+The reference repo's user surface is per-effect demo mains operating on
+WAV files; these functions are that surface as a library: read a WAV,
+run one effect (jit-compiled, oracle-pinned semantics), write a WAV.
+
+    from audiosignalprocess_tpu import api
+    api.lowpass_file("in.wav", "out.wav", cutoff_hz=2000)
+    api.noise_gate_file("noisy.wav", "clean.wav")
+    api.resample_file("cd.wav", "dat.wav", rate_out=48000)
+    api.pitch_shift_file("voice.wav", "high.wav", semitones=4)
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import numpy as np
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.effects.envelope import envelope
+from audiosignalprocess_tpu.effects.noise_gate import noise_gate
+from audiosignalprocess_tpu.effects.phase_vocoder import pitch_shift, time_stretch
+from audiosignalprocess_tpu.io.wav import read_wav, write_wav
+from audiosignalprocess_tpu.ops.fir import design_fir, fir_direct
+from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+from audiosignalprocess_tpu.ops.resample import resample_poly
+
+
+def _process(path_in: str, path_out: str, fn, rate_out=None, **wav_kw):
+    x, rate = read_wav(path_in)
+    y = np.asarray(jax.jit(fn)(x))
+    write_wav(path_out, y, rate_out or rate, **wav_kw)
+    return y.shape
+
+
+def lowpass_file(path_in: str, path_out: str, cutoff_hz: float,
+                 numtaps: int = 64, nfft: int = 1024, **wav_kw):
+    """Windowed-sinc FIR lowpass via overlap-save (config-1 chain)."""
+    x, rate = read_wav(path_in)
+    h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
+    y = np.asarray(jax.jit(lambda v: overlap_save(v, h, nfft))(x))
+    write_wav(path_out, y, rate, **wav_kw)
+    return y.shape
+
+
+def bandpass_file(path_in: str, path_out: str, lo_hz: float, hi_hz: float,
+                  numtaps: int = 256, **wav_kw):
+    """Windowed-sinc FIR bandpass (config-2 filter)."""
+    x, rate = read_wav(path_in)
+    h = design_fir(numtaps, (2.0 * lo_hz / rate, 2.0 * hi_hz / rate),
+                   window_kind="hamming", pass_zero=False)
+    y = np.asarray(jax.jit(lambda v: fir_direct(v, h))(x))
+    write_wav(path_out, y, rate, **wav_kw)
+    return y.shape
+
+
+def resample_file(path_in: str, path_out: str, rate_out: int, **wav_kw):
+    """Polyphase rational resample to ``rate_out`` (e.g. 44100 -> 48000)."""
+    x, rate = read_wav(path_in)
+    fr = Fraction(rate_out, rate)
+    y = np.asarray(jax.jit(
+        lambda v: resample_poly(v, fr.numerator, fr.denominator))(x))
+    write_wav(path_out, y, rate_out, **wav_kw)
+    return y.shape
+
+
+def noise_gate_file(path_in: str, path_out: str, nfft: int = 1024,
+                    hop: int = 256, threshold_db: float = 6.0,
+                    reduction_db: float = 60.0, noise_frames: int = 8,
+                    **wav_kw):
+    """Spectral noise gate (config-3 effect)."""
+    return _process(
+        path_in, path_out,
+        lambda v: noise_gate(v, nfft, hop, threshold_db, reduction_db,
+                             noise_frames),
+        **wav_kw,
+    )
+
+
+def envelope_file(path_in: str, path_out: str, cutoff_hz: float = 50.0,
+                  numtaps: int = 129, **wav_kw):
+    """Envelope follower / AM demodulation output."""
+    x, rate = read_wav(path_in)
+    h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
+    y = np.asarray(jax.jit(lambda v: envelope(v, h))(x))
+    write_wav(path_out, y, rate, **wav_kw)
+    return y.shape
+
+
+def time_stretch_file(path_in: str, path_out: str, rate_factor: float,
+                      nfft: int = 1024, hop: int = 256, **wav_kw):
+    """Phase-vocoder time stretch (rate_factor > 1 speeds up)."""
+    return _process(
+        path_in, path_out,
+        lambda v: time_stretch(v, rate_factor, nfft, hop),
+        **wav_kw,
+    )
+
+
+def pitch_shift_file(path_in: str, path_out: str, semitones: float,
+                     nfft: int = 1024, hop: int = 256, **wav_kw):
+    """Phase-vocoder pitch shift by ``semitones``."""
+    return _process(
+        path_in, path_out,
+        lambda v: pitch_shift(v, semitones, nfft, hop),
+        **wav_kw,
+    )

@@ -87,7 +87,7 @@ def timed(fn, x, iters: int = 5):
     float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(out)[0][..., :64])))
     t0 = time.perf_counter()
     for k in range(iters):
-        o = fn(x if k == 0 else x * (1.0 + 1e-6 * k))  # defeat RPC caching
+        o = fn(x * (1.0 + 1e-6 * (k + 1)))  # distinct args defeat RPC caching
         float(jnp.sum(jnp.abs(jax.tree_util.tree_leaves(o)[0][..., :64])))
     dt = (time.perf_counter() - t0) / iters
     return out, dt
