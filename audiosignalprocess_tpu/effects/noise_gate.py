@@ -55,14 +55,13 @@ def noise_gate(
 
     ``fused=True`` routes through the fused Pallas kernel
     (kernels/gate_kernel.py): STFT -> mask -> WOLA ISTFT in one
-    VMEM-resident pass (release=0 only).
+    VMEM-resident pass (release smoothing included).
     """
     if fused:
-        assert release == 0.0, "fused gate implements the release=0 path"
         from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
 
         return noise_gate_fused(x, nfft, hop, threshold_db, reduction_db,
-                                noise_frames, window_kind)
+                                noise_frames, release, window_kind)
     spec = stft(x, nfft, hop, window_kind, impl=impl)
     mag = jnp.abs(spec)
     floor = jnp.mean(mag[..., :noise_frames, :], axis=-2, keepdims=True)

@@ -129,7 +129,7 @@ def fir_noise_gate_fused(
     reduction_db: float = 60.0,
     noise_frames: int = 8,
     window_kind: str = "hann",
-    frames_per_step: int = 16,
+    frames_per_step: int = 32,
     batch_tile: int = 32,
 ) -> jnp.ndarray:
     """overlap-save FIR (h, nfft) -> spectral noise gate, fully fused.

@@ -46,9 +46,10 @@ def _interpret() -> bool:
 
 
 def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
+                 release,
                  x_hbm, floor_ref, wgrid, inv_norm,
                  c1, s1, c2, s2, tbc, tbs,
-                 o_ref, win, spill, sem):
+                 o_ref, win, spill, rel, sem):
     """Grid (batch_tiles, frame_tiles); row space (rows of n2 samples):
     hr = hop rows, nr = nfft rows (== n1), dr = (nfft-hop) rows."""
     i = pl.program_id(0)
@@ -68,6 +69,8 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
     def _():
         fetch(0, 0).start()
         spill[:] = jnp.zeros_like(spill)
+        if release > 0.0:
+            rel[:] = jnp.zeros_like(rel)
 
     slot = j % 2
 
@@ -85,6 +88,17 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
     mag = jnp.sqrt(sr * sr + si * si)
     floor = floor_ref[:][:, None, :, :]  # (tb, 1, n1, n2) grid floor
     mask = jnp.where(mag > floor * thresh_gain, 1.0, att).astype(sr.dtype)
+    if release > 0.0:
+        # max-with-decay release smoothing s_q = max(mask_q, r*s_{q-1})
+        # across ALL frames: sequential within the tile, carried across
+        # grid steps in VMEM scratch (grid execution is sequential)
+        state = rel[:]
+        rows = []
+        for q in range(mf):
+            state = jnp.maximum(mask[:, q], release * state)
+            rows.append(state)
+        rel[:] = state
+        mask = jnp.stack(rows, axis=1)
     y = fourstep_grid_inv_real(sr * mask, si * mask, n1, n2,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
     # frames past the last whole frame (oracle has no partial frames) are
@@ -119,11 +133,12 @@ def noise_gate_fused(
     threshold_db: float = 6.0,
     reduction_db: float = 60.0,
     noise_frames: int = 8,
+    release: float = 0.0,
     window_kind: str = "hann",
     frames_per_step: int = 8,
     batch_tile: int = 32,
 ) -> jnp.ndarray:
-    """Fused-gate drop-in for effects.noise_gate (release=0 path).
+    """Fused-gate drop-in for effects.noise_gate (incl. release smoothing).
 
     Output length = nfft + (F-1)*hop, exactly the oracle convention.
     Requires hop % n2 == 0 (n2 = four-step lane width of nfft).
@@ -193,7 +208,7 @@ def noise_gate_fused(
     span_r = mf * hr
     y = pl.pallas_call(
         functools.partial(_gate_kernel, hr, nr, dr, mf, nt, n1, n2,
-                          thresh_gain, att, nframes),
+                          thresh_gain, att, nframes, float(release)),
         grid=(bp // tb, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec((tb, n1, n2), lambda i, j: (i, 0, 0),
@@ -208,6 +223,7 @@ def noise_gate_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tb, span_r + dr, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
+            pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -58,3 +58,11 @@ def test_nfft_2048(rng):
     ref = np.stack([oracle.noise_gate(x[c], nfft=2048, hop=512) for c in range(2)])
     out = np.asarray(noise_gate_fused(x, nfft=2048, hop=512))
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("release", (0.5, 0.9))
+def test_release_smoothing(rng, release):
+    x = _mk(rng, 2, 32768)
+    ref = np.stack([oracle.noise_gate(x[c], release=release) for c in range(2)])
+    out = np.asarray(noise_gate_fused(x, release=release, frames_per_step=8))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
