@@ -63,6 +63,15 @@ def main():
     rf = np.stack([oracle.fir_direct(xf[i].astype(np.float64), h) for i in range(2)])
     results["fir_mac"] = round(oracle.snr_db(rf, off), 1)
 
+    from audiosignalprocess_tpu.kernels.chain_kernel import fir_noise_gate_fused
+
+    oc2 = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(v, h))(xg))
+    rc2 = np.stack([
+        oracle.noise_gate(oracle.fir_direct(xg[i].astype(np.float64), h))
+        for i in range(4)
+    ])
+    results["fir_noise_gate_fused"] = round(oracle.snr_db(rc2, oc2), 1)
+
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
     print(json.dumps(results))
