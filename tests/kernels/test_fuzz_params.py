@@ -10,16 +10,14 @@ from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
 from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
 from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
 
-RNG = np.random.default_rng(2026)
-
-
 def _cases_os(k):
+    rng = np.random.default_rng(2026)
     out = []
     for _ in range(k):
-        nfft = int(2 ** RNG.integers(8, 13))
-        taps = int(RNG.integers(2, max(3, nfft // 2)))
-        n = int(RNG.integers(nfft, 6 * nfft))
-        b = int(RNG.integers(1, 5))
+        nfft = int(2 ** rng.integers(8, 13))
+        taps = int(rng.integers(2, max(3, nfft // 2)))
+        n = int(rng.integers(nfft, 6 * nfft))
+        b = int(rng.integers(1, 5))
         out.append((taps, nfft, n, b))
     return out
 
@@ -35,24 +33,21 @@ def test_overlap_save_fuzz(taps, nfft, n, b):
 
 
 def _cases_gate(k):
+    rng = np.random.default_rng(2027)
     out = []
-    combos = [(256, 64), (256, 128), (512, 128), (512, 256), (1024, 256),
+    # every combo satisfies hop % row_width == 0 (row width = min(128, nfft))
+    combos = [(256, 128), (512, 128), (512, 256), (1024, 256),
               (1024, 512), (2048, 512)]
     for _ in range(k):
-        nfft, hop = combos[RNG.integers(0, len(combos))]
-        nf = int(RNG.integers(24, 80))
-        n = nfft + (nf - 1) * hop + int(RNG.integers(0, hop))
+        nfft, hop = combos[rng.integers(0, len(combos))]
+        nf = int(rng.integers(24, 80))
+        n = nfft + (nf - 1) * hop + int(rng.integers(0, hop))
         out.append((nfft, hop, n))
     return out
 
 
 @pytest.mark.parametrize("nfft,hop,n", _cases_gate(6))
 def test_gate_fuzz(nfft, hop, n):
-    from audiosignalprocess_tpu.kernels.fft_kernel import _split_n
-
-    n1, n2 = _split_n(nfft)
-    if hop % n2 != 0:
-        pytest.skip("hop below the row width (documented fused-gate bound)")
     rng = np.random.default_rng(nfft + n)
     x = 0.01 * rng.standard_normal((2, n))
     lo, hi = n // 3, 2 * (n // 3)
@@ -63,24 +58,27 @@ def test_gate_fuzz(nfft, hop, n):
 
 
 def _cases_rs(k):
+    rng = np.random.default_rng(2028)
     out = []
     for _ in range(k):
-        up = int(RNG.integers(1, 24))
-        down = int(RNG.integers(1, 24))
+        up = int(rng.integers(1, 24))
+        down = int(rng.integers(1, 24))
         if up == down:
             down += 1
-        n = int(RNG.integers(40, 120)) * down
+        # ragged tails on purpose: n NOT a multiple of down exercises the
+        # partial final polyphase cycle (nout = ceil(n*up/down))
+        n = int(rng.integers(40, 120)) * down + int(rng.integers(0, down))
         out.append((up, down, n))
     return out
 
 
+@pytest.mark.parametrize("zp", (True, False), ids=("zero_phase", "causal"))
 @pytest.mark.parametrize("up,down,n", _cases_rs(8))
-def test_resample_fuzz(up, down, n):
+def test_resample_fuzz(up, down, n, zp):
     rng = np.random.default_rng(up * 100 + down)
     x = rng.standard_normal((2, n))
-    for zp in (True, False):
-        ref = np.stack([
-            oracle.resample_poly(x[i], up, down, zero_phase=zp) for i in range(2)
-        ])
-        out = np.asarray(resample_mac(x, up, down, zero_phase=zp, cycle_tile=32))
-        np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+    ref = np.stack([
+        oracle.resample_poly(x[i], up, down, zero_phase=zp) for i in range(2)
+    ])
+    out = np.asarray(resample_mac(x, up, down, zero_phase=zp, cycle_tile=32))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
