@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
+    _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
@@ -37,10 +38,6 @@ from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
 
 
-def _interpret() -> bool:
-    return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
-        jax.default_backend() != "tpu"
-    )
 
 
 def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,

@@ -26,11 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
-        jax.default_backend() != "tpu"
-    )
+from audiosignalprocess_tpu.kernels.fft_kernel import _interpret
 
 
 def _fir_kernel(t, tile, nt, pref, x_hbm, h_ref, o_ref, xwin, sem):

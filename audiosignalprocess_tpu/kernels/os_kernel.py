@@ -30,14 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.kernels.fft_kernel import (
+    _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
 
 
-def _interpret() -> bool:
-    return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
-        jax.default_backend() != "tpu"
-    )
 
 
 def _os_kernel(nfft, br, e0r, nb, nt, n1, n2,

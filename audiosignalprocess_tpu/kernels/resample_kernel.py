@@ -37,12 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.kernels.fft_kernel import _interpret
 
 
-def _interpret() -> bool:
-    return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
-        jax.default_backend() != "tpu"
-    )
 
 
 @functools.lru_cache(maxsize=None)

@@ -35,7 +35,7 @@ def fir_direct(x: jnp.ndarray, h, history: jnp.ndarray | None = None) -> jnp.nda
     batch = x.shape[:-1]
     n = x.shape[-1]
     xf = x.reshape((-1, 1, n))  # (batch, feature=1, length)
-    if history is not None:
+    if history is not None and t > 1:  # t==1: stateless, no history needed
         hist = jnp.asarray(history).reshape((-1, 1, t - 1)).astype(x.dtype)
         xf = jnp.concatenate([hist, xf], axis=-1)
         pad = (0, 0)

@@ -38,6 +38,15 @@ from audiosignalprocess_tpu.parallel.halo import halo_left, halo_right, send_rig
 _SPEC = P("channel", "time")
 
 
+def _check_halo(halo: int, local_len: int) -> None:
+    """Halo exchange is single-hop: the required history must fit in ONE
+    neighbor shard, else jnp slice-clamping silently fabricates history."""
+    assert halo <= local_len, (
+        f"halo {halo} exceeds local shard length {local_len}: use fewer "
+        f"time shards or a shorter filter (single-hop halo exchange)"
+    )
+
+
 def _smap(mesh: Mesh, fn):
     return jax.jit(shard_map(fn, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC))
 
@@ -53,6 +62,7 @@ def sharded_fir(mesh: Mesh, h) -> callable:
     t = len(h)
 
     def local(x):
+        _check_halo(t - 1, x.shape[-1])
         ext = halo_left(x, t - 1, "time")
         return fir_direct(x, h, history=ext[..., : t - 1])
 
@@ -69,6 +79,7 @@ def sharded_overlap_save(mesh: Mesh, h, nfft: int,
     t = len(h)
 
     def local(x):
+        _check_halo(t - 1, x.shape[-1])
         ext = halo_left(x, t - 1, "time")
         return overlap_save(x, h, nfft, history=ext[..., : t - 1], impl=impl,
                             fused=fused)
@@ -87,6 +98,7 @@ def sharded_resample(mesh: Mesh, up: int, down: int, h=None) -> callable:
 
     def local(x):
         assert x.shape[-1] % down == 0, "local shard length must divide `down`"
+        _check_halo(hl, x.shape[-1])
         ext = halo_left(x, hl, "time")
         return resample_poly(x, up, down, h=h, zero_phase=False,
                              history=ext[..., :hl])
@@ -100,25 +112,15 @@ def sharded_resample(mesh: Mesh, up: int, down: int, h=None) -> callable:
 
 
 def _gate_norms(nfft: int, hop: int, window_kind: str):
-    """(head_ramp(d), tail_ramp(d), interior_const) of the whole-file WOLA norm."""
-    w2 = window_np(window_kind, nfft) ** 2
+    """(head_ramp(d), tail_ramp(d), interior_const) of the whole-file WOLA
+    norm, sliced from the exact per-sample norm (ops.stft._wola_norm) so
+    the ramp math has a single source of truth."""
+    from audiosignalprocess_tpu.ops.stft import _wola_norm
+
     d = nfft - hop
     r = nfft // hop
-    cols = np.sum(w2.reshape(r, hop), axis=0)
-    assert np.allclose(cols, cols[0]), "window/hop is not COLA for w^2"
-    const = float(cols[0])
-    head = np.zeros(d)
-    for k in range(r - 1):
-        lo = k * hop
-        seg = min(nfft, d - lo)
-        head[lo : lo + seg] += w2[:seg]
-    # tail ramp: the last d samples of the istft output — contributions of
-    # the final frames only (mirror of the head ramp for the frame set)
-    tail = np.zeros(d)
-    for k in range(r - 1):
-        hi = d - k * hop
-        tail[:hi] += w2[nfft - hi :]
-    return np.maximum(head, 1e-12), np.maximum(tail, 1e-12), const
+    norm = _wola_norm(2 * r, nfft, hop, window_kind)  # long enough: interior exists
+    return norm[:d].copy(), norm[-d:].copy(), float(norm[d])
 
 
 def gate_shard_body(
@@ -138,9 +140,17 @@ def gate_shard_body(
     d = nfft - hop
     l = x.shape[-1]
     assert l % hop == 0 and l >= nfft, "shard length must be >= nfft, hop-aligned"
+    assert l // hop >= noise_frames, (
+        f"shard 0 holds {l // hop} frames < noise_frames={noise_frames}: "
+        f"the noise floor lives on the first shard (use longer shards)"
+    )
     n_sh = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     n_glob = l * n_sh
+    n_frames_glob = 1 + (n_glob - nfft) // hop
+    assert n_frames_glob * hop >= 2 * d, (
+        "signal too short: WOLA head and tail ramps overlap"
+    )
     head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
     w = jnp.asarray(window_np(window_kind, nfft), dtype)
     ext = halo_right(x, d, axis_name)
@@ -220,13 +230,16 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
             hist = ext[..., : t - 1]
             if s.nfft is not None:
                 assert s.pre is None, "abs-pre + overlap-save not supported"
-                x = overlap_save(x, s.h, s.nfft, history=hist, impl=s.impl)
+                _check_halo(t - 1, x.shape[-1])
+                x = overlap_save(x, s.h, s.nfft, history=hist, impl=s.impl,
+                                 fused=s.fused)
             else:
                 x = fir_direct(src, s.h, history=hist)
             if s.post_scale != 1.0:
                 x = x * s.post_scale
         elif isinstance(s, ResampleStage):
             hl = history_len(len(s.h), s.up, s.down)
+            _check_halo(hl, x.shape[-1])
             ext = halo_left(x, hl, axis_name)
             x = resample_poly(x, s.up, s.down, h=s.h, zero_phase=False,
                               history=ext[..., :hl])

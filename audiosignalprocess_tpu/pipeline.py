@@ -30,14 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiosignalprocess_tpu.cpu_ref import oracle
-from audiosignalprocess_tpu.effects.envelope import envelope as envelope_op
 from audiosignalprocess_tpu.effects.noise_gate import gate_mask, noise_gate
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.fir import fir_direct
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.resample import history_len, resample_poly
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
-from audiosignalprocess_tpu.ops.stft import istft, stft
 from audiosignalprocess_tpu.ops.windows import window_np
 
 
@@ -95,8 +93,11 @@ class FIRStage(Stage):
 
     def step(self, state, x):
         y = self._apply(x, state)
+        t = len(self.h)
+        if t == 1:  # stateless single-tap filter
+            return state, y
         xin = jnp.abs(x) if self.pre == "abs" else x
-        tail = jnp.concatenate([state, xin], axis=-1)[..., -(len(self.h) - 1) :]
+        tail = jnp.concatenate([state, xin], axis=-1)[..., -(t - 1) :]
         return tail, y
 
 

@@ -140,3 +140,21 @@ class TestHaloPrimitives:
         np.testing.assert_array_equal(out_r[7, 8:], [0, 0, 0])
         for s in range(7):
             np.testing.assert_array_equal(out_r[s, 8:], x[0, (s + 1) * 8 : (s + 1) * 8 + 3])
+
+
+class TestGuards:
+    """Regression tests for silently-wrong sharded configurations (now
+    hard errors): halo > shard length, noise floor spanning shards."""
+
+    def test_halo_exceeds_shard_raises(self, rng):
+        mesh = make_mesh(channel=1, time=8)
+        h = oracle.design_fir(512, 0.1)
+        x = rng.standard_normal((1, 8 * 256))  # 256/shard < 511 halo
+        with pytest.raises(AssertionError, match="halo"):
+            sharded_fir(mesh, h)(shard_audio(x, mesh))
+
+    def test_noise_frames_exceed_shard_raises(self, rng):
+        mesh = make_mesh(channel=1, time=8)
+        x = rng.standard_normal((1, 8 * 1024))  # 4 frames/shard < 8
+        with pytest.raises(AssertionError, match="noise_frames"):
+            sharded_noise_gate(mesh)(shard_audio(x, mesh))

@@ -146,3 +146,15 @@ class TestFusedStages:
         ya, yb = np.asarray(a.full(x)), np.asarray(b.full(x))
         assert oracle.snr_db(ya.astype(np.float64) + 1e-30,
                              yb.astype(np.float64) + 1e-30) >= 100.0
+
+
+class TestSingleTap:
+    def test_single_tap_fir_stage(self, rng):
+        """len(h)==1 is stateless and must stream correctly."""
+        x = rng.standard_normal((2, 1024))
+        chain = Chain([FIRStage(h=np.array([0.5]))])
+        lat = chain.build()
+        full = np.asarray(chain.full(x))
+        np.testing.assert_allclose(full, 0.5 * x, rtol=1e-12)
+        streamed = np.asarray(chain.stream(x, 256))
+        np.testing.assert_allclose(streamed, full, rtol=1e-12)
