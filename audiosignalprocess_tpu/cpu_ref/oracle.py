@@ -220,6 +220,14 @@ def design_fir(
     # normalize passband center gain to 1
     c = np.cos(np.pi * m * scale_freq)
     s = np.sum(h * c)
+    if abs(s) < 1e-8 * max(np.abs(h).max(), 1e-300) * numtaps:
+        # e.g. even numtaps with gain at Nyquist (type-II highpass): the
+        # normalization frequency has ~zero response; scipy.firwin raises
+        # for the same designs
+        raise ValueError(
+            f"invalid FIR design: numtaps={numtaps} has ~zero gain at the "
+            f"normalization frequency (use odd numtaps for highpass/bandstop)"
+        )
     h /= s
     return h
 

@@ -57,6 +57,10 @@ def noise_gate(
     (kernels/gate_kernel.py): STFT -> mask -> WOLA ISTFT in one
     VMEM-resident pass (release smoothing included).
     """
+    nframes = 1 + (jnp.shape(x)[-1] - nfft) // hop
+    assert nframes >= noise_frames, (
+        f"signal has {nframes} frames < noise_frames={noise_frames}"
+    )
     if fused:
         from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
 

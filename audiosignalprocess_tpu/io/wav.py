@@ -110,11 +110,12 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 16,
     else:
         raise ValueError(f"unsupported bits={bits}")
     balign = nch * bits // 8
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body) + len(pad)) + b"WAVE"
     hdr += b"fmt " + struct.pack("<IHHIIHH", 16, tag, nch, rate, rate * balign, balign, bits)
     hdr += b"data" + struct.pack("<I", len(body))
     with open(path, "wb") as f:
-        f.write(hdr + body)
+        f.write(hdr + body + pad)
 
 
 def stream_blocks(path: str, block: int, dtype=np.float32):

@@ -106,6 +106,11 @@ def resample_mac(
         hist = jnp.asarray(history).reshape((b, -1)).astype(x.dtype)
         hn = hist.shape[-1]
         assert hn % down == 0 and x.shape[-1] % down == 0
+        nk = -(-len(h) // up)
+        assert hn >= nk - 1, (
+            f"history {hn} shorter than the filter needs ({nk - 1}); "
+            f"use ops.resample.history_len()"
+        )
         skip = hn * up // down
         nout = x.shape[-1] * up // down
         xf = jnp.concatenate([hist, xf], axis=-1)

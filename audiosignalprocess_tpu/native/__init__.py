@@ -54,6 +54,16 @@ def _c64(a) -> np.ndarray:
 _WIN = {"rect": 0, "hann": 1, "hamming": 2, "blackman": 3}
 
 
+def _per_row(fn, x, *args):
+    """Apply a 1-D wrapper over leading batch axes (the C kernels are
+    single-signal; oracle parity tests batch)."""
+    x = np.asarray(x)
+    if x.ndim == 1:
+        return fn(x, *args)
+    rows = [_per_row(fn, r, *args) for r in x]
+    return np.stack(rows)
+
+
 def window(kind: str, n: int, periodic: bool = True) -> np.ndarray:
     out = np.empty(n)
     lib().asp_window(_WIN[kind], n, int(periodic), _dp(out))
@@ -61,66 +71,92 @@ def window(kind: str, n: int, periodic: bool = True) -> np.ndarray:
 
 
 def fft_radix2(x: np.ndarray) -> np.ndarray:
-    x = np.asarray(x, dtype=np.complex128)
-    re = _c64(x.real).copy()
-    im = _c64(x.imag).copy()
-    lib().asp_fft_radix2(_dp(re), _dp(im), x.shape[-1], -1)
-    return re + 1j * im
+    def one(v):
+        v = np.asarray(v, dtype=np.complex128)
+        re = _c64(v.real).copy()
+        im = _c64(v.imag).copy()
+        lib().asp_fft_radix2(_dp(re), _dp(im), v.shape[-1], -1)
+        return re + 1j * im
+
+    return _per_row(one, x)
 
 
 def ifft_radix2(x: np.ndarray) -> np.ndarray:
-    x = np.asarray(x, dtype=np.complex128)
-    re = _c64(x.real).copy()
-    im = _c64(x.imag).copy()
-    lib().asp_ifft_radix2(_dp(re), _dp(im), x.shape[-1])
-    return re + 1j * im
+    def one(v):
+        v = np.asarray(v, dtype=np.complex128)
+        re = _c64(v.real).copy()
+        im = _c64(v.imag).copy()
+        lib().asp_ifft_radix2(_dp(re), _dp(im), v.shape[-1])
+        return re + 1j * im
+
+    return _per_row(one, x)
 
 
 def fft_splitradix(x: np.ndarray) -> np.ndarray:
-    x = np.asarray(x, dtype=np.complex128)
-    xr, xi = _c64(x.real), _c64(x.imag)
-    yr, yi = np.empty_like(xr), np.empty_like(xi)
-    lib().asp_fft_splitradix(_dp(xr), _dp(xi), x.shape[-1], _dp(yr), _dp(yi))
-    return yr + 1j * yi
+    def one(v):
+        v = np.asarray(v, dtype=np.complex128)
+        xr, xi = _c64(v.real), _c64(v.imag)
+        yr, yi = np.empty_like(xr), np.empty_like(xi)
+        lib().asp_fft_splitradix(_dp(xr), _dp(xi), v.shape[-1], _dp(yr), _dp(yi))
+        return yr + 1j * yi
+
+    return _per_row(one, x)
 
 
 def rfft(x: np.ndarray) -> np.ndarray:
-    x = _c64(x)
-    n = x.shape[-1]
-    sr, si = np.empty(n // 2 + 1), np.empty(n // 2 + 1)
-    lib().asp_rfft(_dp(x), n, _dp(sr), _dp(si))
-    return sr + 1j * si
+    def one(v):
+        v = _c64(v)
+        n = v.shape[-1]
+        sr, si = np.empty(n // 2 + 1), np.empty(n // 2 + 1)
+        lib().asp_rfft(_dp(v), n, _dp(sr), _dp(si))
+        return sr + 1j * si
+
+    return _per_row(one, x)
 
 
 def irfft(spec: np.ndarray, n: int) -> np.ndarray:
-    spec = np.asarray(spec, dtype=np.complex128)
-    sr, si = _c64(spec.real), _c64(spec.imag)
-    out = np.empty(n)
-    lib().asp_irfft(_dp(sr), _dp(si), n, _dp(out))
-    return out
+    def one(v, nn):
+        v = np.asarray(v, dtype=np.complex128)
+        sr, si = _c64(v.real), _c64(v.imag)
+        out = np.empty(nn)
+        lib().asp_irfft(_dp(sr), _dp(si), nn, _dp(out))
+        return out
+
+    return _per_row(one, spec, n)
 
 
 def design_fir(numtaps: int, cutoff, window_kind: str = "hann",
                pass_zero: bool = True) -> np.ndarray:
     c = np.atleast_1d(_c64(cutoff))
     h = np.empty(numtaps)
-    lib().asp_design_fir(numtaps, _dp(c), len(c), _WIN[window_kind],
-                         int(pass_zero), _dp(h))
+    rc = lib().asp_design_fir(numtaps, _dp(c), len(c), _WIN[window_kind],
+                              int(pass_zero), _dp(h))
+    if rc:
+        raise ValueError(
+            "invalid FIR design: ~zero gain at the normalization frequency "
+            "(use odd numtaps for highpass/bandstop)"
+        )
     return h
 
 
 def fir_direct(x: np.ndarray, h: np.ndarray) -> np.ndarray:
-    x, h = _c64(x), _c64(h)
-    y = np.empty_like(x)
-    lib().asp_fir_direct(_dp(x), x.shape[-1], _dp(h), len(h), _dp(y))
-    return y
+    def one(v, hh):
+        v = _c64(v)
+        y = np.empty_like(v)
+        lib().asp_fir_direct(_dp(v), v.shape[-1], _dp(hh), len(hh), _dp(y))
+        return y
+
+    return _per_row(one, x, _c64(h))
 
 
 def overlap_save(x: np.ndarray, h: np.ndarray, nfft: int) -> np.ndarray:
-    x, h = _c64(x), _c64(h)
-    y = np.empty_like(x)
-    lib().asp_overlap_save(_dp(x), x.shape[-1], _dp(h), len(h), nfft, _dp(y))
-    return y
+    def one(v, hh, nf):
+        v = _c64(v)
+        y = np.empty_like(v)
+        lib().asp_overlap_save(_dp(v), v.shape[-1], _dp(hh), len(hh), nf, _dp(y))
+        return y
+
+    return _per_row(one, x, _c64(h), nfft)
 
 
 def resample_poly(x: np.ndarray, up: int, down: int, h: np.ndarray,
@@ -158,10 +194,13 @@ def istft(spec: np.ndarray, nfft: int, hop: int, window_kind: str = "hann") -> n
 
 
 def envelope(x: np.ndarray, h: np.ndarray) -> np.ndarray:
-    x, h = _c64(x), _c64(h)
-    y = np.empty_like(x)
-    lib().asp_envelope(_dp(x), x.shape[-1], _dp(h), len(h), _dp(y))
-    return y
+    def one(v, hh):
+        v = _c64(v)
+        y = np.empty_like(v)
+        lib().asp_envelope(_dp(v), v.shape[-1], _dp(hh), len(hh), _dp(y))
+        return y
+
+    return _per_row(one, x, _c64(h))
 
 
 def noise_gate(x: np.ndarray, nfft: int = 1024, hop: int = 256,

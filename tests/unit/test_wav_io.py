@@ -42,3 +42,17 @@ def test_stream_blocks_pads_final(tmp_path):
     assert all(b.shape == (2, 256) for b in blocks)
     cat = np.concatenate(blocks, axis=1)[:, :1000]
     np.testing.assert_allclose(cat, x, atol=1e-7)
+
+
+def test_odd_data_chunk_pad(tmp_path):
+    """24-bit mono with odd frame count: data chunk gets a RIFF pad byte
+    and the file still round-trips."""
+    import os
+
+    x = np.linspace(-0.5, 0.5, 1001)
+    p = str(tmp_path / "odd.wav")
+    write_wav(p, x, 8000, bits=24)
+    assert os.path.getsize(p) % 2 == 0
+    y, rate = read_wav(p, dtype=np.float64)
+    assert rate == 8000 and y.shape == (1, 1001)
+    np.testing.assert_allclose(y[0], x, atol=2e-7)
