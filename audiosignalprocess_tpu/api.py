@@ -18,7 +18,6 @@ from fractions import Fraction
 import jax
 import numpy as np
 
-from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.effects.envelope import envelope
 from audiosignalprocess_tpu.effects.noise_gate import noise_gate
 from audiosignalprocess_tpu.effects.phase_vocoder import pitch_shift, time_stretch
@@ -28,42 +27,59 @@ from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.resample import resample_poly
 
 
-def _process(path_in: str, path_out: str, fn, rate_out=None, **wav_kw):
+def _process(path_in: str, path_out: str, make_fn, rate_out=None, **wav_kw):
+    """Read -> jit(effect) -> write.  ``make_fn(rate)`` builds the effect
+    for the file's sample rate (or pass a plain fn for rate-independent
+    effects)."""
     x, rate = read_wav(path_in)
+    fn = make_fn(rate) if _wants_rate(make_fn) else make_fn
     y = np.asarray(jax.jit(fn)(x))
-    write_wav(path_out, y, rate_out or rate, **wav_kw)
+    out_rate = rate_out(rate) if callable(rate_out) else (rate_out or rate)
+    write_wav(path_out, y, out_rate, **wav_kw)
     return y.shape
+
+
+def _wants_rate(f) -> bool:
+    import inspect
+
+    try:
+        params = inspect.signature(f).parameters
+    except (TypeError, ValueError):
+        return False
+    return "rate" in params
 
 
 def lowpass_file(path_in: str, path_out: str, cutoff_hz: float,
                  numtaps: int = 64, nfft: int = 1024, **wav_kw):
     """Windowed-sinc FIR lowpass via overlap-save (config-1 chain)."""
-    x, rate = read_wav(path_in)
-    h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
-    y = np.asarray(jax.jit(lambda v: overlap_save(v, h, nfft))(x))
-    write_wav(path_out, y, rate, **wav_kw)
-    return y.shape
+
+    def make(rate):
+        h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
+        return lambda v: overlap_save(v, h, nfft)
+
+    return _process(path_in, path_out, make, **wav_kw)
 
 
 def bandpass_file(path_in: str, path_out: str, lo_hz: float, hi_hz: float,
                   numtaps: int = 256, **wav_kw):
     """Windowed-sinc FIR bandpass (config-2 filter)."""
-    x, rate = read_wav(path_in)
-    h = design_fir(numtaps, (2.0 * lo_hz / rate, 2.0 * hi_hz / rate),
-                   window_kind="hamming", pass_zero=False)
-    y = np.asarray(jax.jit(lambda v: fir_direct(v, h))(x))
-    write_wav(path_out, y, rate, **wav_kw)
-    return y.shape
+
+    def make(rate):
+        h = design_fir(numtaps, (2.0 * lo_hz / rate, 2.0 * hi_hz / rate),
+                       window_kind="hamming", pass_zero=False)
+        return lambda v: fir_direct(v, h)
+
+    return _process(path_in, path_out, make, **wav_kw)
 
 
 def resample_file(path_in: str, path_out: str, rate_out: int, **wav_kw):
     """Polyphase rational resample to ``rate_out`` (e.g. 44100 -> 48000)."""
-    x, rate = read_wav(path_in)
-    fr = Fraction(rate_out, rate)
-    y = np.asarray(jax.jit(
-        lambda v: resample_poly(v, fr.numerator, fr.denominator))(x))
-    write_wav(path_out, y, rate_out, **wav_kw)
-    return y.shape
+
+    def make(rate):
+        fr = Fraction(rate_out, rate)
+        return lambda v: resample_poly(v, fr.numerator, fr.denominator)
+
+    return _process(path_in, path_out, make, rate_out=rate_out, **wav_kw)
 
 
 def noise_gate_file(path_in: str, path_out: str, nfft: int = 1024,
@@ -82,11 +98,12 @@ def noise_gate_file(path_in: str, path_out: str, nfft: int = 1024,
 def envelope_file(path_in: str, path_out: str, cutoff_hz: float = 50.0,
                   numtaps: int = 129, **wav_kw):
     """Envelope follower / AM demodulation output."""
-    x, rate = read_wav(path_in)
-    h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
-    y = np.asarray(jax.jit(lambda v: envelope(v, h))(x))
-    write_wav(path_out, y, rate, **wav_kw)
-    return y.shape
+
+    def make(rate):
+        h = design_fir(numtaps, 2.0 * cutoff_hz / rate)
+        return lambda v: envelope(v, h)
+
+    return _process(path_in, path_out, make, **wav_kw)
 
 
 def time_stretch_file(path_in: str, path_out: str, rate_factor: float,

@@ -33,6 +33,9 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
+from audiosignalprocess_tpu.kernels.gate_kernel import (
+    floor_grid, inv_norm_rows, ola_rows,
+)
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
@@ -99,22 +102,8 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
     fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
     y = y * (fidx < nframes).astype(y.dtype)
-    # ---- OLA in row space + spill carry + normalization
-    r = nr // hr
-    zfr = lambda k: jnp.zeros((tb, k, hr, n2), y.dtype)
-    acc4 = None
-    for q in range(r):
-        piece = y[:, :, q * hr : (q + 1) * hr, :]
-        if q > 0:
-            piece = jnp.concatenate([zfr(q), piece], axis=1)
-        if r - 1 - q > 0:
-            piece = jnp.concatenate([piece, zfr(r - 1 - q)], axis=1)
-        acc4 = piece if acc4 is None else acc4 + piece
-    acc = jnp.concatenate([acc4[:, f] for f in range(mf + r - 1)], axis=1)
-    acc = acc[:, : span_r + dr]
-    acc = jnp.concatenate([acc[:, :dr] + spill[:], acc[:, dr:]], axis=1)
-    spill[:] = acc[:, span_r:]
-    o_ref[:] = acc[:, :span_r] * inv_norm[0]
+    # ---- OLA + spill carry + normalization (shared with the gate kernel)
+    o_ref[:] = ola_rows(y, spill, mf, hr, dr, n2) * inv_norm[0]
 
 
 def fir_noise_gate_fused(
@@ -172,11 +161,7 @@ def fir_noise_gate_fused(
     pro = overlap_save(xf[:, : min(n, pro_len)], h, nfft, impl="matmul")
     prof = frame_op(pro[:, : d + noise_frames * hop], nfft, hop) * jnp.asarray(
         wv_np, dt)
-    floor_half = jnp.mean(jnp.abs(fft_ops.rfft(prof, impl="matmul")),
-                          axis=-2).astype(dt)
-    mirror = np.minimum(np.arange(nfft), nfft - np.arange(nfft))
-    floor_full = jnp.take(floor_half, jnp.asarray(mirror), axis=-1)
-    floor = jnp.transpose(floor_full.reshape(-1, n2, n1), (0, 2, 1))
+    floor = floor_grid(prof, n1, n2, dt)
 
     # ---- input prefix: e0 samples (zeros + causal FIR history semantics)
     need = total_f * hop + d + (nb_os - 1) * b + nfft  # generous
@@ -195,13 +180,9 @@ def fir_noise_gate_fused(
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(nfft)
     hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
     hg = hf.reshape(n2, n1).T
-    w2 = wv_np ** 2
-    norm_np = np.zeros(total_f * hop)
-    for k in range(nframes):
-        norm_np[k * hop : k * hop + nfft] += w2
-    inv_norm_np = 1.0 / np.maximum(norm_np, 1e-12)
-    inv_norm_np[out_len:] = 1.0
-    inv_norm = jnp.asarray(inv_norm_np, dt).reshape(1, total_f * hr, n2)
+    inv_norm = jnp.asarray(
+        inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
+    ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = [jnp.asarray(a, dt) for a in
             (c1_, s1_, c2_, s2_, tbc_, tbs_, hg.real.copy(), hg.imag.copy())]

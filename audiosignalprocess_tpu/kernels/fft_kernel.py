@@ -54,29 +54,13 @@ def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
     return int(np.clip((budget // 8) * 8, 8, 64))
 
 
-def _precision():
-    """MXU precision for the kernel matmuls.  HIGHEST (6 bf16 passes,
-    full f32) by default; ASP_MATMUL_PRECISION=high selects 3 passes
-    (~f32 for short contractions, ~2x matmul throughput)."""
-    name = os.environ.get("ASP_MATMUL_PRECISION", "highest").upper()
-    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGHEST)
-
-
 def _dot(a, b, dn, acc_dt):
+    # HIGHEST is pinned: TPUs decompose f32 matmuls into bf16 passes by
+    # default (~50 dB SNR — fails the 60 dB bound; measured in
+    # docs/PERF.md), and Mosaic rejects Precision.HIGH.
     return jax.lax.dot_general(a, b, dimension_numbers=dn,
                                preferred_element_type=acc_dt,
-                               precision=_precision())
-
-
-def _sublane_merge(y):
-    """(..., K, L) -> (..., K*L), out[..., k*L + l] = y[..., k, l].
-
-    Concat of sublane slices — usable where a plain reshape would be a
-    Mosaic lane-dim shape cast.  Prefer doing flat<->grid conversion in
-    XLA (outside the kernel) or via DMA of pre-shaped HBM arrays; this is
-    the in-kernel fallback.
-    """
-    return jnp.concatenate([y[..., k, :] for k in range(y.shape[-2])], axis=-1)
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.lru_cache(maxsize=None)
@@ -417,7 +401,7 @@ def _flat2(x: jnp.ndarray):
 def fft_complex(x: jnp.ndarray, sign: float, core=fft_fourstep) -> jnp.ndarray:
     """Complex-in/complex-out adapter over the planar Pallas kernels."""
     n = x.shape[-1]
-    if n < 4 or core is fft_fourstep and n < 4:
+    if n < 4:
         # tiny sizes: direct DFT is fine (and fourstep needs n>=4)
         k = jnp.arange(n)
         w = jnp.exp(sign * 2j * jnp.pi * jnp.outer(k, k) / n).astype(x.dtype)

@@ -42,6 +42,61 @@ from audiosignalprocess_tpu.ops.stft import frame as frame_op
 
 
 
+def floor_grid(frames_windowed, n1, n2, dtype):
+    """Per-channel noise-floor in the kernel's (n1, n2) grid layout from
+    pre-windowed prologue frames (shared by the gate and chain kernels)."""
+    nfft = n1 * n2
+    floor_half = jnp.mean(jnp.abs(fft_ops.rfft(frames_windowed, impl="matmul")),
+                          axis=-2).astype(dtype)
+    # mirror to the full spectrum (real input: |S[k]| == |S[n-k]|), then
+    # rearrange to G[c, d] = floor[n1*d + c]
+    mirror = np.minimum(np.arange(nfft), nfft - np.arange(nfft))
+    floor_full = jnp.take(floor_half, jnp.asarray(mirror), axis=-1)
+    return jnp.transpose(floor_full.reshape(-1, n2, n1), (0, 2, 1))
+
+
+def inv_norm_rows(wv_np, nfft, hop, nframes, total_len):
+    """Full-length 1/WOLA-norm vector over the padded output: head ramp,
+    interior constant, tail ramp, then 1.0 in the zero padding."""
+    out_len = nfft + (nframes - 1) * hop
+    w2 = wv_np ** 2
+    norm_np = np.zeros(total_len)
+    for k in range(nframes):
+        norm_np[k * hop : k * hop + nfft] += w2
+    inv = 1.0 / np.maximum(norm_np, 1e-12)
+    inv[out_len:] = 1.0
+    return inv
+
+
+def ola_rows(y, spill, mf, hr, dr, n2):
+    """Row-space overlap-add of mf frames with a cross-step spill carry.
+
+    y: (tb, mf, nr, n2) windowed time frames; spill: (tb, dr, n2) VMEM
+    scratch REF.  Built as a sum of zero-padded shifts (lane-reshape-free,
+    scatter-free).  Returns the (tb, mf*hr, n2) emitted rows; updates
+    ``spill`` in place.
+    """
+    tb = y.shape[0]
+    nr = y.shape[2]
+    r = nr // hr
+    span_r = mf * hr
+    zfr = lambda k: jnp.zeros((tb, k, hr, n2), y.dtype)
+    acc4 = None
+    for q in range(r):
+        piece = y[:, :, q * hr : (q + 1) * hr, :]  # (tb, mf, hr, n2)
+        if q > 0:
+            piece = jnp.concatenate([zfr(q), piece], axis=1)
+        if r - 1 - q > 0:
+            piece = jnp.concatenate([piece, zfr(r - 1 - q)], axis=1)
+        acc4 = piece if acc4 is None else acc4 + piece
+    # merge (frame, hop-row) -> row axis: concat over the frame axis
+    acc = jnp.concatenate([acc4[:, f] for f in range(mf + r - 1)], axis=1)
+    acc = acc[:, : span_r + dr]
+    acc = jnp.concatenate([acc[:, :dr] + spill[:], acc[:, dr:]], axis=1)
+    spill[:] = acc[:, span_r:]
+    return acc[:, :span_r]
+
+
 def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
                  release,
                  x_hbm, floor_ref, wgrid, inv_norm,
@@ -102,25 +157,9 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
     # padding that still overlaps real samples — zero their contributions
     fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
     y = y * (fidx < nframes).astype(y.dtype)
-    # OLA in row space: hop-chunk q of frame f lands at rows (f+q)*hr
-    r = nr // hr
-    zfr = lambda k: jnp.zeros((tb, k, hr, n2), y.dtype)
-    acc4 = None
-    for q in range(r):
-        piece = y[:, :, q * hr : (q + 1) * hr, :]  # (tb, mf, hr, n2)
-        if q > 0:
-            piece = jnp.concatenate([zfr(q), piece], axis=1)
-        if r - 1 - q > 0:
-            piece = jnp.concatenate([piece, zfr(r - 1 - q)], axis=1)
-        acc4 = piece if acc4 is None else acc4 + piece
-    # merge (frame, hop-row) -> row axis: concat over the frame axis
-    acc = jnp.concatenate([acc4[:, f] for f in range(mf + r - 1)], axis=1)
-    acc = acc[:, : span_r + dr]
-    acc = jnp.concatenate([acc[:, :dr] + spill[:], acc[:, dr:]], axis=1)
-    spill[:] = acc[:, span_r:]
-    # WOLA normalization: 1/norm rows arrive pre-sliced via a block-indexed
-    # input (no in-kernel gather)
-    o_ref[:] = acc[:, :span_r] * inv_norm[0]
+    # OLA + spill carry, then WOLA normalization (1/norm rows arrive
+    # pre-sliced via a block-indexed input — no in-kernel gather)
+    o_ref[:] = ola_rows(y, spill, mf, hr, dr, n2) * inv_norm[0]
 
 
 def noise_gate_fused(
@@ -157,12 +196,7 @@ def noise_gate_fused(
     # prologue: per-channel noise floor from the first noise_frames frames
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     pro = frame_op(xf[:, : d + noise_frames * hop], nfft, hop) * jnp.asarray(wv_np, dt)
-    floor_half = jnp.mean(jnp.abs(fft_ops.rfft(pro, impl="matmul")), axis=-2).astype(dt)
-    # mirror to the full spectrum (real input: |S[k]| == |S[n-k]|), then
-    # rearrange to the kernel's grid layout G[c, d] = floor[n1*d + c]
-    mirror = np.minimum(np.arange(nfft), nfft - np.arange(nfft))
-    floor_full = jnp.take(floor_half, jnp.asarray(mirror), axis=-1)
-    floor = jnp.transpose(floor_full.reshape(-1, n2, n1), (0, 2, 1))
+    floor = floor_grid(pro, n1, n2, dt)
 
     assert nframes * hop >= 2 * d, "signal too short for the fused gate"
     mf = int(frames_per_step)
@@ -186,15 +220,9 @@ def noise_gate_fused(
     xp3 = xp[:, : nrows_in * n2].reshape(bp, nrows_in, n2)
 
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(nfft)
-    # full-length 1/norm over the padded output, in row space: head ramp,
-    # interior constant, tail ramp, then 1.0 in the zero padding
-    w2 = wv_np ** 2
-    norm_np = np.zeros(total_f * hop)
-    for k in range(nframes):
-        norm_np[k * hop : k * hop + nfft] += w2
-    inv_norm_np = 1.0 / np.maximum(norm_np, 1e-12)
-    inv_norm_np[out_len:] = 1.0
-    inv_norm = jnp.asarray(inv_norm_np, dt).reshape(1, total_f * hr, n2)
+    inv_norm = jnp.asarray(
+        inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
+    ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = [jnp.asarray(a, dt) for a in (c1_, s1_, c2_, s2_, tbc_, tbs_)]
     thresh_gain = float(10.0 ** (threshold_db / 20.0))

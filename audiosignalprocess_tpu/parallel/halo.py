@@ -19,8 +19,14 @@ from jax import lax
 def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray:
     """Prepend the left neighbor's last ``halo`` samples: (..., L) -> (..., halo+L).
 
-    Shard 0 receives zeros (causal cold start).
+    Shard 0 receives zeros (causal cold start).  ``halo`` must fit in one
+    shard: the exchange is single-hop, and a silent jnp slice clamp would
+    otherwise fabricate history.
     """
+    assert halo <= x.shape[-1], (
+        f"halo {halo} exceeds local shard length {x.shape[-1]} "
+        f"(single-hop halo exchange)"
+    )
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(
@@ -36,8 +42,13 @@ def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray
 def halo_right(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray:
     """Append the right neighbor's first ``halo`` samples: (..., L) -> (..., L+halo).
 
-    The last shard receives zeros (stream end).
+    The last shard receives zeros (stream end).  See halo_left for the
+    single-hop halo <= shard-length requirement.
     """
+    assert halo <= x.shape[-1], (
+        f"halo {halo} exceeds local shard length {x.shape[-1]} "
+        f"(single-hop halo exchange)"
+    )
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(

@@ -151,6 +151,9 @@ def gate_shard_body(
     assert n_frames_glob * hop >= 2 * d, (
         "signal too short: WOLA head and tail ramps overlap"
     )
+    assert n_frames_glob >= noise_frames, (
+        f"signal has {n_frames_glob} frames < noise_frames={noise_frames}"
+    )
     head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
     w = jnp.asarray(window_np(window_kind, nfft), dtype)
     ext = halo_right(x, d, axis_name)
@@ -226,6 +229,7 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
         if isinstance(s, FIRStage):
             t = len(s.h)
             src = jnp.abs(x) if s.pre == "abs" else x
+            _check_halo(t - 1, src.shape[-1])
             ext = halo_left(src, t - 1, axis_name)
             hist = ext[..., : t - 1]
             if s.nfft is not None:

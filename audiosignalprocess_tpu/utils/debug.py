@@ -28,12 +28,15 @@ def enable_nan_checks(enable: bool = True) -> None:
 
 @contextlib.contextmanager
 def nan_checks():
-    """Scoped NaN/Inf trapping."""
+    """Scoped NaN/Inf trapping (restores the prior global setting)."""
+    prev_nans = jax.config.jax_debug_nans
+    prev_infs = jax.config.jax_debug_infs
     enable_nan_checks(True)
     try:
         yield
     finally:
-        enable_nan_checks(False)
+        jax.config.update("jax_debug_nans", prev_nans)
+        jax.config.update("jax_debug_infs", prev_infs)
 
 
 @contextlib.contextmanager

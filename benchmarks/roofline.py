@@ -42,7 +42,8 @@ def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
     else:
         def op(vr):
             y = fft_ops.rfft(vr, impl=impl)
-            return (jnp.real(y) + jnp.imag(y))[..., : n]
+            yr = jnp.real(y) + jnp.imag(y)  # (..., n//2+1)
+            return jnp.pad(yr, ((0, 0), (0, n - yr.shape[-1])))
         # real in (4B) + complex half-spectrum out (~4B/sample again)
         byts = batch * n * 4 + batch * (n // 2 + 1) * 8
 
