@@ -48,7 +48,11 @@ def _check_halo(halo: int, local_len: int) -> None:
 
 
 def _smap(mesh: Mesh, fn):
-    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC))
+    # check_vma=False: Pallas calls inside shard_map produce outputs with
+    # no varying-mesh-axes annotation; correctness is pinned by the
+    # sharded-== -unsharded test suite instead.
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(_SPEC,), out_specs=_SPEC,
+                             check_vma=False))
 
 
 # ---------------------------------------------------------------------------

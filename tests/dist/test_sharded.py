@@ -158,3 +158,16 @@ class TestGuards:
         x = rng.standard_normal((1, 8 * 1024))  # 4 frames/shard < 8
         with pytest.raises(AssertionError, match="noise_frames"):
             sharded_noise_gate(mesh)(shard_audio(x, mesh))
+
+
+class TestFusedSharded:
+    def test_overlap_save_fused_per_shard(self, rng):
+        """Fused Pallas kernel inside shard_map (halo feeds its history)."""
+        mesh = make_mesh(channel=2, time=4)
+        h = oracle.design_fir(64, 0.25)
+        x = rng.standard_normal((8, 8192)).astype(np.float32)
+        out = np.asarray(sharded_overlap_save(mesh, h, 1024, fused=True)(
+            shard_audio(x, mesh)))
+        ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h)
+                        for i in range(8)])
+        assert oracle.snr_db(ref, out.astype(np.float64)) >= 60.0
