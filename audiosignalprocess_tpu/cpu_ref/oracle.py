@@ -47,6 +47,7 @@ Pinned conventions
 from __future__ import annotations
 
 import numpy as np
+from audiosignalprocess_tpu.utils.validate import check
 
 # --------------------------------------------------------------------------
 # Windows
@@ -92,7 +93,7 @@ def fft_radix2(x: np.ndarray) -> np.ndarray:
     last axis.  Matches the classic in-place C structure."""
     x = np.asarray(x, dtype=np.complex128)
     n = x.shape[-1]
-    assert n & (n - 1) == 0, "radix-2 FFT requires power-of-two length"
+    check(n & (n - 1) == 0, "radix-2 FFT requires power-of-two length")
     y = x[..., bit_reverse_indices(n)].copy()
     m = 1
     while m < n:
@@ -137,7 +138,7 @@ def fft_splitradix(x: np.ndarray) -> np.ndarray:
     """Split-radix FFT (L-shaped butterflies), batched on the last axis."""
     x = np.asarray(x, dtype=np.complex128)
     n = x.shape[-1]
-    assert n & (n - 1) == 0
+    check(n & (n - 1) == 0, 'guard failed: n & (n - 1) == 0')
     return _fft_splitradix_rec(x)
 
 
@@ -151,7 +152,7 @@ def rfft(x: np.ndarray) -> np.ndarray:
     """Real FFT via N/2-point complex FFT + untangle.  Returns N/2+1 bins."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
-    assert n & (n - 1) == 0 and n >= 2
+    check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
     z = x[..., 0::2] + 1j * x[..., 1::2]  # length n/2 complex
     zf = fft_radix2(z)
     half = n // 2
@@ -250,7 +251,7 @@ def overlap_save(x: np.ndarray, h: np.ndarray, nfft: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    assert nfft >= 2 * (t - 1) or nfft > t - 1, "nfft too small for taps"
+    check(nfft >= 2 * (t - 1) or nfft > t - 1, "nfft too small for taps")
     b = nfft - (t - 1)
     n = len(x)
     nblocks = -(-n // b)  # ceil
@@ -334,7 +335,7 @@ def stft(x: np.ndarray, nfft: int, hop: int, window_kind: str = "hann") -> np.nd
     """STFT: frames at k*hop, no padding; returns (num_frames, nfft//2+1)."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
-    assert n >= nfft, "signal shorter than one frame"
+    check(n >= nfft, "signal shorter than one frame")
     nframes = 1 + (n - nfft) // hop
     w = window(window_kind, nfft, periodic=True)
     idx = np.arange(nfft)[None, :] + hop * np.arange(nframes)[:, None]

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import istft, stft
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def gate_mask(
@@ -58,9 +59,7 @@ def noise_gate(
     VMEM-resident pass (release smoothing included).
     """
     nframes = 1 + (jnp.shape(x)[-1] - nfft) // hop
-    assert nframes >= noise_frames, (
-        f"signal has {nframes} frames < noise_frames={noise_frames}"
-    )
+    check(nframes >= noise_frames, f"signal has {nframes} frames < noise_frames={noise_frames}")
     if fused:
         from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
 

@@ -13,6 +13,7 @@ import os
 import subprocess
 
 import numpy as np
+from audiosignalprocess_tpu.utils.validate import check
 
 _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native")
@@ -120,7 +121,7 @@ class RingBuffer:
 
     def push(self, x: np.ndarray) -> int:
         x = np.ascontiguousarray(x, dtype=np.float32)
-        assert x.shape[0] == self.channels
+        check(x.shape[0] == self.channels, 'guard failed: x.shape[0] == self.channels')
         return lib().asp_ring_push(self._h, _fp(x), x.shape[1])
 
     def pop(self, frames: int, pad: bool = True) -> tuple[np.ndarray, int]:

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
+    check_kernel_dtype,
     _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
@@ -39,6 +40,7 @@ from audiosignalprocess_tpu.kernels.gate_kernel import (
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
+from audiosignalprocess_tpu.utils.validate import check
 
 
 
@@ -124,15 +126,16 @@ def fir_noise_gate_fused(
     nfft + (F-1)*hop.  FIR FFT size == gate nfft (one table set).
     """
     x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    assert nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1
+    check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1, 'guard failed: nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1')
     n1, n2 = _split_n(nfft)
-    assert hop % n2 == 0, f"hop {hop} not a multiple of row width {n2}"
+    check(hop % n2 == 0, f"hop {hop} not a multiple of row width {n2}")
     hr, nr, dr = hop // n2, nfft // n2, (nfft - hop) // n2
     e0 = -(-(t - 1) // n2) * n2
     b = ((nfft - e0) // n2) * n2
-    assert b >= n2
+    check(b >= n2, 'guard failed: b >= n2')
     br, e0r = b // n2, e0 // n2
 
     batch = x.shape[:-1]
@@ -143,7 +146,7 @@ def fir_noise_gate_fused(
     d = nfft - hop
     nframes = 1 + (n - nfft) // hop
     out_len = nfft + (nframes - 1) * hop
-    assert nframes * hop >= 2 * d, "signal too short"
+    check(nframes * hop >= 2 * d, "signal too short")
 
     mf = int(frames_per_step)
     align = max(1, -(-8 // hr))

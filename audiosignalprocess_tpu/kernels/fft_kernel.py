@@ -26,12 +26,26 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def _interpret() -> bool:
     return os.environ.get("ASP_INTERPRET_PALLAS", "0") == "1" or (
         jax.default_backend() != "tpu"
     )
+
+
+def check_kernel_dtype(dtype) -> None:
+    """TPU has no float64.  Compiling a fused kernel with f64 inputs would
+    fail deep inside Mosaic (or silently downcast); fail clearly instead.
+    Interpret mode (CPU / ASP_INTERPRET_PALLAS=1) supports f64 for tests."""
+    if jnp.dtype(dtype) == jnp.float64 and not _interpret():
+        raise ValueError(
+            "float64 inputs to a fused Pallas kernel on TPU: the hardware "
+            "has no f64 unit. Cast to float32, or run the jnp path "
+            "(fused=False), or use interpret mode (ASP_INTERPRET_PALLAS=1) "
+            "on CPU for float64 verification."
+        )
 
 
 def _split_n(n: int) -> tuple[int, int]:
@@ -266,9 +280,10 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 
     n must be a power of two >= 4.  Returns (yr, yi) same shape/dtype.
     """
-    assert xr.ndim == 2 and xr.shape == xi.shape
+    check(xr.ndim == 2 and xr.shape == xi.shape, 'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
     b, n = xr.shape
-    assert n & (n - 1) == 0 and n >= 4
+    check(n & (n - 1) == 0 and n >= 4, 'guard failed: n & (n - 1) == 0 and n >= 4')
+    check_kernel_dtype(xr.dtype)
     n1, n2 = _split_n(n)
     dt = xr.dtype
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
@@ -359,9 +374,9 @@ def fft_radix2_stages(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     this kernel always runs through the Pallas interpreter (plain XLA ops)
     — on TPU hardware the butterfly structure lives in the four-step
     kernel's sublane-MAC stage instead (the performance path)."""
-    assert xr.ndim == 2 and xr.shape == xi.shape
+    check(xr.ndim == 2 and xr.shape == xi.shape, 'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
     b, n = xr.shape
-    assert n & (n - 1) == 0 and n >= 2
+    check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
     dt = xr.dtype
     rev = jnp.asarray(_bitrev(n))
     xr = jnp.take(xr, rev, axis=-1)

@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audiosignalprocess_tpu.kernels.fft_kernel import _interpret
+from audiosignalprocess_tpu.kernels.fft_kernel import _interpret, check_kernel_dtype
 
 
 def _fir_kernel(t, tile, nt, pref, x_hbm, h_ref, o_ref, xwin, sem):
@@ -70,6 +70,7 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
     ``history`` is the previous T-1 samples (zeros when absent).
     """
     x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
     batch = x.shape[:-1]

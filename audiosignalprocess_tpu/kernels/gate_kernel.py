@@ -33,11 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
+    check_kernel_dtype,
     _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
+from audiosignalprocess_tpu.utils.validate import check
 
 
 
@@ -179,8 +181,9 @@ def noise_gate_fused(
     Output length = nfft + (F-1)*hop, exactly the oracle convention.
     Requires hop % n2 == 0 (n2 = four-step lane width of nfft).
     """
-    assert nfft % hop == 0
+    check(nfft % hop == 0, 'guard failed: nfft % hop == 0')
     x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
     batch = x.shape[:-1]
     n = x.shape[-1]
     xf = x.reshape((-1, n))
@@ -190,7 +193,7 @@ def noise_gate_fused(
     nframes = 1 + (n - nfft) // hop
     out_len = nfft + (nframes - 1) * hop
     n1, n2 = _split_n(nfft)
-    assert hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}"
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
     hr, nr, dr = hop // n2, nfft // n2, d // n2
 
     # prologue: per-channel noise floor from the first noise_frames frames
@@ -198,7 +201,7 @@ def noise_gate_fused(
     pro = frame_op(xf[:, : d + noise_frames * hop], nfft, hop) * jnp.asarray(wv_np, dt)
     floor = floor_grid(pro, n1, n2, dt)
 
-    assert nframes * hop >= 2 * d, "signal too short for the fused gate"
+    check(nframes * hop >= 2 * d, "signal too short for the fused gate")
     mf = int(frames_per_step)
     # Mosaic: 2nd-to-last out-block dim (mf*hr) % 8 == 0
     align = max(1, -(-8 // hr))

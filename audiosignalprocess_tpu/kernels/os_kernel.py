@@ -30,9 +30,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.kernels.fft_kernel import (
+    check_kernel_dtype,
     _interpret,
     _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
 )
+from audiosignalprocess_tpu.utils.validate import check
 
 
 
@@ -95,14 +97,15 @@ def overlap_save_fused(
     >= one grid row (n2).
     """
     x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    assert nfft > t - 1 and nfft & (nfft - 1) == 0
+    check(nfft > t - 1 and nfft & (nfft - 1) == 0, 'guard failed: nfft > t - 1 and nfft & (nfft - 1) == 0')
     n1, n2 = _split_n(nfft)
     # row-aligned emission offset and block hop
     e0 = -(-(t - 1) // n2) * n2
     b = ((nfft - e0) // n2) * n2
-    assert b >= n2, f"nfft={nfft} too small for {t} taps with row width {n2}"
+    check(b >= n2, f"nfft={nfft} too small for {t} taps with row width {n2}")
     br, e0r = b // n2, e0 // n2
     batch = x.shape[:-1]
     n = x.shape[-1]

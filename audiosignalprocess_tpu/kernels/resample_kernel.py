@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
-from audiosignalprocess_tpu.kernels.fft_kernel import _interpret
+from audiosignalprocess_tpu.kernels.fft_kernel import _interpret, check_kernel_dtype
+from audiosignalprocess_tpu.utils.validate import check
 
 
 
@@ -92,6 +93,7 @@ def resample_mac(
     g = gcd(up, down)
     up, down = up // g, down // g
     x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
     if up == 1 and down == 1:
         return x
     if h is None:
@@ -102,15 +104,13 @@ def resample_mac(
     b = xf.shape[0]
 
     if history is not None:
-        assert not zero_phase, "streaming resample must be causal"
+        check(not zero_phase, "streaming resample must be causal")
         hist = jnp.asarray(history).reshape((b, -1)).astype(x.dtype)
         hn = hist.shape[-1]
-        assert hn % down == 0 and x.shape[-1] % down == 0
+        check(hn % down == 0 and x.shape[-1] % down == 0, 'guard failed: hn % down == 0 and x.shape[-1] % down == 0')
         nk = -(-len(h) // up)
-        assert hn >= nk - 1, (
-            f"history {hn} shorter than the filter needs ({nk - 1}); "
-            f"use ops.resample.history_len()"
-        )
+        check(hn >= nk - 1, f"history {hn} shorter than the filter needs ({nk - 1}); "
+            f"use ops.resample.history_len()")
         skip = hn * up // down
         nout = x.shape[-1] * up // down
         xf = jnp.concatenate([hist, xf], axis=-1)

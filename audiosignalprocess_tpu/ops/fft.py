@@ -30,6 +30,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from audiosignalprocess_tpu.utils.validate import check
 
 DEFAULT_IMPL = "matmul"
 
@@ -229,7 +230,7 @@ def fft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if impl == "xla":
         return jnp.fft.fft(x)
     n = x.shape[-1]
-    assert n & (n - 1) == 0, "power-of-two length required"
+    check(n & (n - 1) == 0, "power-of-two length required")
     return _IMPLS[impl](x, -1.0)
 
 
@@ -241,7 +242,7 @@ def ifft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if impl == "xla":
         return jnp.fft.ifft(x)
     n = x.shape[-1]
-    assert n & (n - 1) == 0
+    check(n & (n - 1) == 0, 'guard failed: n & (n - 1) == 0')
     return _IMPLS[impl](x, 1.0) / n
 
 
@@ -254,7 +255,7 @@ def rfft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if impl == "xla":
         return jnp.fft.rfft(x)
     n = x.shape[-1]
-    assert n & (n - 1) == 0 and n >= 2
+    check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
     half = n // 2
     cdt = _as_complex_dtype(x.dtype)
     if half == 1:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiosignalprocess_tpu.ops import fft as fft_ops
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def spectrum_taps(h, nfft: int, dtype=np.complex64) -> np.ndarray:
@@ -49,7 +50,7 @@ def overlap_save(
     x = jnp.asarray(x)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    assert nfft > t - 1, "nfft must exceed numtaps-1"
+    check(nfft > t - 1, "nfft must exceed numtaps-1")
     b = nfft - (t - 1)
     n = x.shape[-1]
     nblocks = -(-n // b)
@@ -58,7 +59,7 @@ def overlap_save(
         head = jnp.zeros(batch + (t - 1,), x.dtype)
     else:
         head = jnp.asarray(history).astype(x.dtype)
-        assert head.shape[-1] == t - 1
+        check(head.shape[-1] == t - 1, 'guard failed: head.shape[-1] == t - 1')
     xp = jnp.concatenate(
         [head, x, jnp.zeros(batch + (nblocks * b - n,), x.dtype)], axis=-1
     )

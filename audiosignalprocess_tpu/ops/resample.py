@@ -22,6 +22,7 @@ import numpy as np
 from jax import lax
 
 from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.utils.validate import check
 
 resample_filter = oracle.resample_filter
 
@@ -65,14 +66,12 @@ def resample_poly(
     batch = x.shape[:-1]
 
     if history is not None:
-        assert not zero_phase, "streaming resample must be causal"
+        check(not zero_phase, "streaming resample must be causal")
         hist = jnp.asarray(history).astype(x.dtype)
         hn = hist.shape[-1]
-        assert hn % down == 0 and x.shape[-1] % down == 0
-        assert hn >= taps_per_phase(t, up) - 1, (
-            f"history {hn} shorter than the filter needs "
-            f"({taps_per_phase(t, up) - 1}); use history_len()"
-        )
+        check(hn % down == 0 and x.shape[-1] % down == 0, 'guard failed: hn % down == 0 and x.shape[-1] % down == 0')
+        check(hn >= taps_per_phase(t, up) - 1, f"history {hn} shorter than the filter needs "
+            f"({taps_per_phase(t, up) - 1}); use history_len()")
         skip = hn * up // down
         nout = x.shape[-1] * up // down
         x = jnp.concatenate([hist, x], axis=-1)

@@ -19,10 +19,11 @@ import numpy as np
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.windows import window
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def num_frames(n: int, nfft: int, hop: int) -> int:
-    assert n >= nfft, "signal shorter than one frame"
+    check(n >= nfft, "signal shorter than one frame")
     return 1 + (n - nfft) // hop
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 from jax import lax
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray:
@@ -23,10 +24,8 @@ def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray
     shard: the exchange is single-hop, and a silent jnp slice clamp would
     otherwise fabricate history.
     """
-    assert halo <= x.shape[-1], (
-        f"halo {halo} exceeds local shard length {x.shape[-1]} "
-        f"(single-hop halo exchange)"
-    )
+    check(halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
+        f"(single-hop halo exchange)")
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(
@@ -45,10 +44,8 @@ def halo_right(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarra
     The last shard receives zeros (stream end).  See halo_left for the
     single-hop halo <= shard-length requirement.
     """
-    assert halo <= x.shape[-1], (
-        f"halo {halo} exceeds local shard length {x.shape[-1]} "
-        f"(single-hop halo exchange)"
-    )
+    check(halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
+        f"(single-hop halo exchange)")
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from audiosignalprocess_tpu.utils.validate import check
 
 
 def make_mesh(channel: int = 1, time: int = 1, devices=None) -> Mesh:
@@ -22,7 +23,7 @@ def make_mesh(channel: int = 1, time: int = 1, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     need = channel * time
-    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    check(len(devices) >= need, f"need {need} devices, have {len(devices)}")
     arr = np.array(devices[:need]).reshape(channel, time)
     return Mesh(arr, ("channel", "time"))
 

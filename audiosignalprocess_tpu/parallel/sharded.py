@@ -34,6 +34,7 @@ from audiosignalprocess_tpu.ops.resample import history_len, resample_poly
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
 from audiosignalprocess_tpu.ops.windows import window_np
 from audiosignalprocess_tpu.parallel.halo import halo_left, halo_right, send_right_add
+from audiosignalprocess_tpu.utils.validate import check
 
 _SPEC = P("channel", "time")
 
@@ -41,10 +42,8 @@ _SPEC = P("channel", "time")
 def _check_halo(halo: int, local_len: int) -> None:
     """Halo exchange is single-hop: the required history must fit in ONE
     neighbor shard, else jnp slice-clamping silently fabricates history."""
-    assert halo <= local_len, (
-        f"halo {halo} exceeds local shard length {local_len}: use fewer "
-        f"time shards or a shorter filter (single-hop halo exchange)"
-    )
+    check(halo <= local_len, f"halo {halo} exceeds local shard length {local_len}: use fewer "
+        f"time shards or a shorter filter (single-hop halo exchange)")
 
 
 def _smap(mesh: Mesh, fn):
@@ -101,7 +100,7 @@ def sharded_resample(mesh: Mesh, up: int, down: int, h=None) -> callable:
     hl = history_len(len(h), up, down)
 
     def local(x):
-        assert x.shape[-1] % down == 0, "local shard length must divide `down`"
+        check(x.shape[-1] % down == 0, "local shard length must divide `down`")
         _check_halo(hl, x.shape[-1])
         ext = halo_left(x, hl, "time")
         return resample_poly(x, up, down, h=h, zero_phase=False,
@@ -143,21 +142,15 @@ def gate_shard_body(
     dtype = x.dtype
     d = nfft - hop
     l = x.shape[-1]
-    assert l % hop == 0 and l >= nfft, "shard length must be >= nfft, hop-aligned"
-    assert l // hop >= noise_frames, (
-        f"shard 0 holds {l // hop} frames < noise_frames={noise_frames}: "
-        f"the noise floor lives on the first shard (use longer shards)"
-    )
+    check(l % hop == 0 and l >= nfft, "shard length must be >= nfft, hop-aligned")
+    check(l // hop >= noise_frames, f"shard 0 holds {l // hop} frames < noise_frames={noise_frames}: "
+        f"the noise floor lives on the first shard (use longer shards)")
     n_sh = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     n_glob = l * n_sh
     n_frames_glob = 1 + (n_glob - nfft) // hop
-    assert n_frames_glob * hop >= 2 * d, (
-        "signal too short: WOLA head and tail ramps overlap"
-    )
-    assert n_frames_glob >= noise_frames, (
-        f"signal has {n_frames_glob} frames < noise_frames={noise_frames}"
-    )
+    check(n_frames_glob * hop >= 2 * d, "signal too short: WOLA head and tail ramps overlap")
+    check(n_frames_glob >= noise_frames, f"signal has {n_frames_glob} frames < noise_frames={noise_frames}")
     head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
     w = jnp.asarray(window_np(window_kind, nfft), dtype)
     ext = halo_right(x, d, axis_name)
@@ -237,7 +230,7 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
             ext = halo_left(src, t - 1, axis_name)
             hist = ext[..., : t - 1]
             if s.nfft is not None:
-                assert s.pre is None, "abs-pre + overlap-save not supported"
+                check(s.pre is None, "abs-pre + overlap-save not supported")
                 _check_halo(t - 1, x.shape[-1])
                 x = overlap_save(x, s.h, s.nfft, history=hist, impl=s.impl,
                                  fused=s.fused)

@@ -14,7 +14,13 @@ stages: (nfft-hop) + noise_frames*hop).  ``Chain.build()`` propagates the
 cumulative latency through rate changes and configures STFT stages to
 skip latency-padding frames, so
 
-    concat(stream blocks)[L:] == full(x)[: emitted-L]   (bitwise, L=chain latency)
+    concat(stream blocks)[L:] == full(x)[: emitted-L]   (L = chain latency)
+
+holds EXACTLY in structure (framing, lengths, block boundaries) and to
+floating-point reassociation in numerics: streaming reorders the same
+arithmetic (blockwise OLA partial sums, carried FIFO state), so f32
+streams match full() to ~120 dB and f64 to ~1e-12 relative — not bit-for-
+bit.  tests/unit/test_pipeline.py pins both bounds.
 
 The carry pytree is checkpointable (utils/checkpoint.py) — streaming can
 resume from any block index.
@@ -37,6 +43,7 @@ from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.ops.resample import history_len, resample_poly
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
 from audiosignalprocess_tpu.ops.windows import window_np
+from audiosignalprocess_tpu.utils.validate import check
 
 
 class Stage:
@@ -125,14 +132,12 @@ class ResampleStage(Stage):
         self.h = np.asarray(self.h, dtype=np.float64)
 
     def configure(self, input_latency: int) -> int:
-        assert input_latency % self.down == 0, (
-            f"upstream latency {input_latency} not a multiple of down={self.down}"
-        )
+        check(input_latency % self.down == 0, f"upstream latency {input_latency} not a multiple of down={self.down}")
         self.input_latency = input_latency
         return input_latency * self.up // self.down
 
     def out_block(self, b):
-        assert b % self.down == 0, f"block {b} not a multiple of down={self.down}"
+        check(b % self.down == 0, f"block {b} not a multiple of down={self.down}")
         return b * self.up // self.down
 
     def full(self, x):
@@ -171,13 +176,11 @@ class GateStage(Stage):
     input_latency: int = 0
 
     def __post_init__(self):
-        assert self.nfft % self.hop == 0
+        check(self.nfft % self.hop == 0, 'guard failed: self.nfft % self.hop == 0')
         self.latency = (self.nfft - self.hop) + self.noise_frames * self.hop
 
     def configure(self, input_latency: int) -> int:
-        assert input_latency % self.hop == 0, (
-            f"upstream latency {input_latency} not a multiple of hop={self.hop}"
-        )
+        check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
         self.input_latency = input_latency
         return input_latency + self.latency
 
@@ -199,7 +202,7 @@ class GateStage(Stage):
         w2 = window_np(self.window_kind, self.nfft) ** 2
         r = self.nfft // self.hop
         cols = np.sum(w2.reshape(r, self.hop), axis=0)
-        assert np.allclose(cols, cols[0]), "window/hop is not COLA for w^2"
+        check(np.allclose(cols, cols[0]), "window/hop is not COLA for w^2")
         return float(cols[0])
 
     def _head_norm(self) -> np.ndarray:
@@ -217,7 +220,7 @@ class GateStage(Stage):
         return np.maximum(norm, 1e-12)
 
     def init_state(self, batch, block, dtype):
-        assert block % self.hop == 0 and block >= self.hop
+        check(block % self.hop == 0 and block >= self.hop, 'guard failed: block % self.hop == 0 and block >= self.hop')
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
         cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -343,7 +346,7 @@ class Chain:
         changes).  Identity: emitted[L:] == full(x)[:emitted_len - L].
         """
         n = x.shape[-1]
-        assert n % block == 0, "stream length must be a multiple of the block"
+        check(n % block == 0, "stream length must be a multiple of the block")
         nblocks = n // block
         states = self.init_state(x.shape[:-1], block, x.dtype)
         blocks = jnp.moveaxis(

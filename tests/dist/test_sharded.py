@@ -150,13 +150,13 @@ class TestGuards:
         mesh = make_mesh(channel=1, time=8)
         h = oracle.design_fir(512, 0.1)
         x = rng.standard_normal((1, 8 * 256))  # 256/shard < 511 halo
-        with pytest.raises(AssertionError, match="halo"):
+        with pytest.raises(ValueError, match="halo"):
             sharded_fir(mesh, h)(shard_audio(x, mesh))
 
     def test_noise_frames_exceed_shard_raises(self, rng):
         mesh = make_mesh(channel=1, time=8)
         x = rng.standard_normal((1, 8 * 1024))  # 4 frames/shard < 8
-        with pytest.raises(AssertionError, match="noise_frames"):
+        with pytest.raises(ValueError, match="noise_frames"):
             sharded_noise_gate(mesh)(shard_audio(x, mesh))
 
 

@@ -158,3 +158,34 @@ class TestSingleTap:
         np.testing.assert_allclose(full, 0.5 * x, rtol=1e-12)
         streamed = np.asarray(chain.stream(x, 256))
         np.testing.assert_allclose(streamed, full, rtol=1e-12)
+
+
+class TestNumericContract:
+    """Pins the streaming numeric contract stated in pipeline.py's module
+    docstring: structure exact, numerics f32 ~>=110 dB / f64 ~1e-12
+    relative (reassociated identical arithmetic, not bit-for-bit)."""
+
+    def test_stream_f32_snr_bound(self, rng):
+        x = rng.standard_normal((2, 2048 * 6)).astype(np.float32)
+        h = oracle.design_fir(64, 0.3)
+        chain = Chain([
+            FIRStage(h=h, nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+        ])
+        lat = chain.build()
+        full = np.asarray(chain.full(x))
+        streamed = np.asarray(chain.stream(x, 2048))
+        got = streamed[..., lat:]
+        want = full[..., : got.shape[-1]]
+        assert oracle.snr_db(want.astype(np.float64) + 1e-30,
+                             got.astype(np.float64) + 1e-30) >= 110.0
+
+    def test_f64_fused_kernel_tpu_guard(self, monkeypatch):
+        """On TPU (interpret off) f64 into a fused kernel raises clearly."""
+        import jax.numpy as jnp
+        from audiosignalprocess_tpu.kernels import fft_kernel
+
+        monkeypatch.setattr(fft_kernel, "_interpret", lambda: False)
+        with pytest.raises(ValueError, match="float64"):
+            fft_kernel.check_kernel_dtype(jnp.float64)
+        fft_kernel.check_kernel_dtype(jnp.float32)  # passes
