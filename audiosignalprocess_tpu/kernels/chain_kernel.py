@@ -47,9 +47,9 @@ from audiosignalprocess_tpu.utils.validate import check
 
 def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
                   c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                  o_ref, win, spill, sem):
+                  o_ref, win, spill, rel, sem):
     (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt,
-     thresh_gain, att, nframes) = cfg
+     thresh_gain, att, nframes, release) = cfg
     i = pl.program_id(0)
     j = pl.program_id(1)
     tb = o_ref.shape[0]
@@ -68,6 +68,8 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
     def _():
         fetch(0, 0).start()
         spill[:] = jnp.zeros_like(spill)
+        if release > 0.0:
+            rel[:] = jnp.zeros_like(rel)
 
     slot = j % 2
 
@@ -100,6 +102,17 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
     mag = jnp.sqrt(gr * gr + gi * gi)
     floor = floor_ref[:][:, None, :, :]
     mask = jnp.where(mag > floor * thresh_gain, 1.0, att).astype(gr.dtype)
+    if release > 0.0:
+        # max-with-decay release smoothing s_q = max(mask_q, r*s_{q-1})
+        # across ALL frames (same carry trick as gate_kernel: grid steps
+        # run sequentially, the state rides VMEM scratch)
+        state = rel[:]
+        rows = []
+        for q in range(mf):
+            state = jnp.maximum(mask[:, q], release * state)
+            rows.append(state)
+        rel[:] = state
+        mask = jnp.stack(rows, axis=1)
     y = fourstep_grid_inv_real(gr * mask, gi * mask, n1, n2,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
     fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
@@ -116,6 +129,7 @@ def fir_noise_gate_fused(
     threshold_db: float = 6.0,
     reduction_db: float = 60.0,
     noise_frames: int = 8,
+    release: float = 0.0,
     window_kind: str = "hann",
     frames_per_step: int = 32,
     batch_tile: int = 32,
@@ -124,6 +138,8 @@ def fir_noise_gate_fused(
 
     == oracle.noise_gate(oracle.fir_direct(x, h), ...); output length
     nfft + (F-1)*hop.  FIR FFT size == gate nfft (one table set).
+    ``release`` is the one-pole mask release smoothing (same semantics as
+    effects.noise_gate / gate_kernel.noise_gate_fused).
     """
     x = jnp.asarray(x)
     check_kernel_dtype(x.dtype)
@@ -193,7 +209,7 @@ def fir_noise_gate_fused(
     att = float(10.0 ** (-reduction_db / 20.0))
 
     cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt,
-           thresh_gain, att, nframes)
+           thresh_gain, att, nframes, float(release))
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, j: (0,) * a.ndim),
                                   memory_space=pltpu.VMEM)
     wrows = (nb_os - 1) * br + n1
@@ -213,6 +229,7 @@ def fir_noise_gate_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tb, wrows, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
+            pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -136,6 +136,7 @@ def gate_shard_body(
     window_kind: str,
     impl: str,
     axis_name: str = "time",
+    release: float = 0.0,
 ) -> jnp.ndarray:
     """Per-shard gate body; call inside shard_map.  Output == GateStage.full
     restricted to this shard's region (last nfft-hop global samples zero)."""
@@ -164,7 +165,28 @@ def gate_shard_body(
     floor_loc = jnp.mean(mag[..., :noise_frames, :], axis=-2, keepdims=True)
     floor_loc = jnp.where(idx == 0, floor_loc, jnp.zeros_like(floor_loc))
     floor = lax.psum(floor_loc, axis_name)
-    mask = gate_mask(mag, floor, threshold_db, reduction_db)
+    # local release scan (gate_mask handles release == 0 as a no-op)
+    mask = gate_mask(mag, floor, threshold_db, reduction_db, release)
+    if release > 0.0 and n_sh > 1:
+        # Cross-shard release continuity.  The frame axis is the time
+        # shards in order; the scan s_q = max(mask_q, r*s_{q-1}) factors:
+        # with L_j = shard j's final LOCALLY-scanned state, the incoming
+        # carry obeys C_i = max(L_{i-1}, r^m * C_{i-1}), i.e.
+        # C_i = max_{j<i} L_j * r^{m*(i-1-j)}; then the corrected local
+        # scan is s'_q = max(s_q, C_i * r^{q+1}).  One all_gather of the
+        # (nbins,)-sized summaries — the gather rides ICI and is tiny.
+        L = mask[..., -1:, :]
+        allL = lax.all_gather(L, axis_name)  # (n_sh, ..., 1, nbins)
+        rm = release ** m
+        C = jnp.zeros_like(L)
+        for j in range(n_sh - 1):
+            e = jnp.maximum(idx - 1 - j, 0).astype(dtype)
+            decay = jnp.power(jnp.asarray(rm, dtype), e)
+            C = jnp.maximum(C, jnp.where(j < idx, allL[j] * decay, 0.0))
+        rel_pows = jnp.asarray(
+            release ** (np.arange(1, m + 1, dtype=np.float64)), dtype
+        )[:, None]
+        mask = jnp.maximum(mask, rel_pows * C)
     out_frames = fft_ops.irfft(spec * mask, nfft, impl=impl) * w
     # OLA of m frames -> l + d samples; spill the tail to the right neighbor
     r = nfft // hop
@@ -201,13 +223,15 @@ def sharded_noise_gate(
     noise_frames: int = 8,
     window_kind: str = "hann",
     impl: str = fft_ops.DEFAULT_IMPL,
+    release: float = 0.0,
 ) -> callable:
     """(C, N) -> (C, N) spectral noise gate == GateStage.full, channel+time
     sharded (configs 3/5)."""
 
     def local(x):
         return gate_shard_body(x, nfft, hop, threshold_db, reduction_db,
-                               noise_frames, window_kind, impl)
+                               noise_frames, window_kind, impl,
+                               release=release)
 
     return _smap(mesh, local)
 
@@ -247,7 +271,8 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
         elif isinstance(s, GateStage):
             x = gate_shard_body(x, s.nfft, s.hop, s.threshold_db,
                                 s.reduction_db, s.noise_frames,
-                                s.window_kind, s.impl, axis_name)
+                                s.window_kind, s.impl, axis_name,
+                                release=s.release)
         else:
             raise NotImplementedError(f"sharded chain stage: {type(s).__name__}")
     return x

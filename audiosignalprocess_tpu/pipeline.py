@@ -170,6 +170,7 @@ class GateStage(Stage):
     threshold_db: float = 6.0
     reduction_db: float = 60.0
     noise_frames: int = 8
+    release: float = 0.0  # one-pole mask release smoothing along frames
     window_kind: str = "hann"
     impl: str = fft_ops.DEFAULT_IMPL
     fused: bool = False  # fused Pallas gate kernel on the whole-file path
@@ -189,7 +190,7 @@ class GateStage(Stage):
         streaming and full shapes agree (gate output is nfft-hop shorter)."""
         y = noise_gate(
             x, self.nfft, self.hop, self.threshold_db, self.reduction_db,
-            self.noise_frames, 0.0, self.window_kind, self.impl,
+            self.noise_frames, self.release, self.window_kind, self.impl,
             fused=self.fused,
         )
         pad = x.shape[-1] - y.shape[-1]
@@ -224,7 +225,7 @@ class GateStage(Stage):
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
         cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-        return dict(
+        st = dict(
             in_tail=jnp.zeros(batch + (d,), dtype),
             fifo=jnp.zeros(batch + (self.noise_frames, nbins), cdt),
             floor_sum=jnp.zeros(batch + (1, nbins), dtype),
@@ -232,6 +233,12 @@ class GateStage(Stage):
             ola_tail=jnp.zeros(batch + (d,), dtype),
             pos=jnp.zeros((), jnp.int32),  # stream position of block start
         )
+        if self.release > 0.0:
+            # release-smoothing state: s after the last emitted frame.
+            # Zero init is exact: pad frames contribute at most `att`, and
+            # release*att < att <= any mask value (see gate_mask).
+            st["rel"] = jnp.zeros(batch + (1, nbins), dtype)
+        return st
 
     def step(self, state, x):
         b = x.shape[-1]
@@ -267,6 +274,18 @@ class GateStage(Stage):
         floor = floor_sum / self.noise_frames
         mask = gate_mask(jnp.abs(popped).astype(dtype), floor,
                          self.threshold_db, self.reduction_db)
+        rel_state = None
+        if self.release > 0.0:
+            # s_q = max(mask_q, release * s_{q-1}) over the popped frames,
+            # carried across blocks — matches the whole-file scan exactly
+            # (zero/pad frames contribute <= att, absorbed by the max).
+            s = state["rel"]
+            rows = []
+            for q in range(m):
+                s = jnp.maximum(mask[..., q : q + 1, :], self.release * s)
+                rows.append(s)
+            mask = jnp.concatenate(rows, axis=-2)
+            rel_state = s
         out_frames = fft_ops.irfft(popped * mask, self.nfft, impl=self.impl) * w
         # OLA of popped frames into a (b + d) accumulator
         fr = out_frames.reshape(out_frames.shape[:-1] + (r, self.hop))
@@ -296,6 +315,8 @@ class GateStage(Stage):
             ola_tail=ola_tail,
             pos=(state["pos"] + b).astype(jnp.int32),
         )
+        if rel_state is not None:
+            new_state["rel"] = rel_state
         return new_state, y.astype(dtype)
 
 

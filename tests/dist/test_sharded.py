@@ -171,3 +171,21 @@ class TestFusedSharded:
         ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h)
                         for i in range(8)])
         assert oracle.snr_db(ref, out.astype(np.float64)) >= 60.0
+
+
+class TestShardedGateRelease:
+    @pytest.mark.parametrize("ch,tm", ((1, 8), (2, 4)))
+    def test_release_matches_unsharded(self, rng, ch, tm):
+        """Cross-shard release continuity (all_gather of per-shard scan
+        summaries) == the whole-file release scan."""
+        from audiosignalprocess_tpu.effects.noise_gate import noise_gate
+
+        mesh = make_mesh(channel=ch, time=tm)
+        x = rng.standard_normal((8, 8 * 4096))
+        x[:, : 3 * 4096] *= 0.01
+        fn = sharded_noise_gate(mesh, nfft=1024, hop=256, noise_frames=8,
+                                release=0.8)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        ref = np.asarray(noise_gate(x, 1024, 256, noise_frames=8, release=0.8))
+        np.testing.assert_allclose(out[..., : ref.shape[-1]], ref,
+                                   rtol=1e-8, atol=1e-8)

@@ -48,3 +48,17 @@ def test_long_taps(rng):
     ref = _oracle_chain(x[0], h)
     out = np.asarray(fir_noise_gate_fused(x, h, frames_per_step=8))[0]
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_release_smoothing(rng):
+    """Release smoothing inside the fused chain kernel, carried across
+    grid steps, matches the oracle's whole-signal scan."""
+    x = _mk(rng, 2, 32768)
+    h = oracle.design_fir(64, 0.3)
+    ref = np.stack([
+        oracle.noise_gate(oracle.fir_direct(x[c], h), release=0.7)
+        for c in range(2)
+    ])
+    out = np.asarray(fir_noise_gate_fused(x, h, release=0.7,
+                                          frames_per_step=8, batch_tile=2))
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)

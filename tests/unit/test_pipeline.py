@@ -189,3 +189,23 @@ class TestNumericContract:
         with pytest.raises(ValueError, match="float64"):
             fft_kernel.check_kernel_dtype(jnp.float64)
         fft_kernel.check_kernel_dtype(jnp.float32)  # passes
+
+
+class TestGateRelease:
+    def test_gate_stage_release_stream_equals_full(self, rng):
+        """Release smoothing threads through the streaming carry exactly."""
+        x = rng.standard_normal((2, 2048 * 5))
+        x[:, :4096] *= 0.01  # quiet head so the gate actually gates
+        chain = Chain([GateStage(nfft=1024, hop=256, noise_frames=4,
+                                 release=0.6)])
+        _stream_equals_full(chain, x, 2048, rtol=1e-8, atol=1e-8)
+
+    def test_release_changes_output(self, rng):
+        """release > 0 is not a no-op (mask tails decay instead of cut)."""
+        from audiosignalprocess_tpu.effects.noise_gate import noise_gate
+
+        x = rng.standard_normal((1, 8192))
+        x[:, 4096:] *= 0.001
+        y0 = np.asarray(noise_gate(x, 1024, 256, noise_frames=4, release=0.0))
+        y1 = np.asarray(noise_gate(x, 1024, 256, noise_frames=4, release=0.9))
+        assert not np.allclose(y0, y1)
