@@ -77,6 +77,63 @@ def _dot(a, b, dn, acc_dt):
                                precision=jax.lax.Precision.HIGHEST)
 
 
+# ---------------------------------------------------------------------------
+# 3-pass bf16 f32-matmul emulation (ASP_MATMUL_MODE)
+# ---------------------------------------------------------------------------
+#
+# HIGHEST costs 6 bf16 MXU passes per f32 matmul.  Splitting each operand
+# into bf16 hi + lo halves (x = hi + lo exactly representable) and keeping
+# the three significant products hi@Thi + hi@Tlo + lo@Thi costs 3 passes
+# for ~16 mantissa bits (~90 dB SNR, comfortably over the 60 dB bound;
+# dropping lo@Tlo loses only ~2^-16 relative).  The DFT tables are
+# constants, so their hi/lo splits are precomputed on the host and stacked
+# into one (2, n, n) bf16 kernel input; only the data side splits on the
+# VPU.  Modes: "auto" (default: 3-pass for f32 on real TPU, HIGHEST in
+# interpret/CPU and for f64), "bf16x3", "highest".
+
+
+def _matmul_mode() -> str:
+    return os.environ.get("ASP_MATMUL_MODE", "auto")
+
+
+def _use_bf16x3(dt) -> bool:
+    m = _matmul_mode()
+    if m == "bf16x3":
+        return jnp.dtype(dt) == jnp.float32
+    if m == "highest":
+        return False
+    return jnp.dtype(dt) == jnp.float32 and not _interpret()
+
+
+def _tab(t: np.ndarray, dt):
+    """DFT-table kernel input: f32/f64 array, or the stacked (2, ...) bf16
+    hi/lo split when the 3-pass emulation is active for this dtype."""
+    if _use_bf16x3(dt):
+        hi = np.asarray(t, np.float32).astype(jnp.bfloat16)
+        lo = (np.asarray(t, np.float64) - np.asarray(hi, np.float64)).astype(
+            np.float32).astype(jnp.bfloat16)
+        return jnp.asarray(np.stack([np.asarray(hi), np.asarray(lo)]))
+    return jnp.asarray(t, dt)
+
+
+def _mm_pair(a, t1, t2, dn, acc_dt):
+    """(a @ t1, a @ t2) sharing one hi/lo split of ``a``.
+
+    t1/t2 are either plain f32/f64 tables (HIGHEST path) or (2, n, n) bf16
+    hi/lo stacks (3-pass path; see _tab)."""
+    if t1.dtype == jnp.bfloat16:
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(a.dtype)).astype(jnp.bfloat16)
+
+        def d(p, q):
+            return jax.lax.dot_general(p, q, dimension_numbers=dn,
+                                       preferred_element_type=acc_dt)
+
+        return (d(ah, t1[0]) + d(ah, t1[1]) + d(al, t1[0]),
+                d(ah, t2[0]) + d(ah, t2[1]) + d(al, t2[0]))
+    return _dot(a, t1, dn, acc_dt), _dot(a, t2, dn, acc_dt)
+
+
 @functools.lru_cache(maxsize=None)
 def _grid_tables(n: int):
     """Positive-angle four-step tables: (c1, s1) (n1,n1), (c2, s2) (n2,n2),
@@ -90,6 +147,16 @@ def _grid_tables(n: int):
 
 
 _MAC_MAX_N1 = 32  # unroll bound for the sublane-MAC n1-side DFT
+
+
+def grid_table_arrays(n: int, dt):
+    """Positive-direction four-step tables as kernel-input arrays, with
+    c2/s2 hi/lo bf16-split when the 3-pass emulation is active (_tab).
+    Shared by every fused kernel that embeds the grid FFT."""
+    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
+    return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt),
+            _tab(c2_, dt), _tab(s2_, dt),
+            jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
 
 
 def _dft_sublane_mac(parts, coef, out_len):
@@ -149,9 +216,9 @@ def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
         zr = yr * tbc + yi * tbs
         zi = yi * tbc - yr * tbs
         dn2 = (((zr.ndim - 2,), (0,)), ((), ()))  # contract b
-        sr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)
-        si = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
-        return sr, si
+        rc, rs = _mm_pair(zr, c2, s2, dn2, acc)
+        ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
+        return rc + is_, ic - rs
     parts = [(xr[..., a, :], None if xi is None else xi[..., a, :])
              for a in range(n1)]
     # _dft_sublane_mac multiplies by (cc - i*ss): positive-angle coef
@@ -175,9 +242,9 @@ def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     zr = jnp.stack(zr_rows, axis=-2)  # (..., c, b) full-lane
     zi = jnp.stack(zi_rows, axis=-2)
     dn2 = (((zr.ndim - 1,), (0,)), ((), ()))   # contract b (lane, K=n2)
-    sr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)   # (..., c, d)
-    si = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
-    return sr, si
+    rc, rs = _mm_pair(zr, c2, s2, dn2, acc)    # (..., c, d)
+    ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
+    return rc + is_, ic - rs
 
 
 @functools.lru_cache(maxsize=None)
@@ -208,8 +275,10 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     acc = pr.dtype
     n = n1 * n2
     dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane, K=n2)
-    ur = _dot(pr, c2, dn1, acc) - _dot(pi, s2, dn1, acc)   # (..., c, b)
-    ui = _dot(pi, c2, dn1, acc) + _dot(pr, s2, dn1, acc)
+    rc, rs = _mm_pair(pr, c2, s2, dn1, acc)    # (..., c, b)
+    ic, is_ = _mm_pair(pi, c2, s2, dn1, acc)
+    ur = rc - is_
+    ui = ic + rs
     # twiddle e^{+2pi i cb/n}: [c, b] grids = transposes of (tbc, tbs)
     tcb = jnp.transpose(tbc)
     tsb = jnp.transpose(tbs)
@@ -242,36 +311,64 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     return y3 * (1.0 / n)
 
 
-def fourstep_grid_complex(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
+def fourstep_grid_complex(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs,
+                          mac_sign: float = 1.0):
     """Complex four-step FFT, grid in -> grid out: (..., n1, n2) [a, b]
     grids -> (..., n2, n1) grids T[..., d, c] = S[n1*d + c] (the d-major
-    grid whose XLA flatten is the natural-order spectrum).  Tables from
-    _grid_tables (sin grids pre-negated for the inverse direction)."""
+    grid whose XLA flatten is the natural-order spectrum).
+
+    Full-lane formulation (same layout strategy as fourstep_grid_fwd):
+    the n1-side DFT runs as unrolled sublane MACs at the full n2 lane
+    width — the previous dot formulation left n1-wide (nearly empty)
+    vregs as the minor dim of every intermediate, measured 3-4x slower on
+    the VPU.  ``mac_sign`` selects the MAC direction (+1 forward e^{-i.},
+    -1 inverse e^{+i.}); the twiddle/n2-side direction comes from the
+    sin tables, pre-negated for the inverse by the caller.  Large n1
+    falls back to the (narrow-lane but correct) dot formulation using
+    the c1/s1 table inputs."""
     acc = xr.dtype
-    X_r = xr
-    X_i = xi
-    dn1 = (((X_r.ndim - 2,), (0,)), ((), ()))
-    yr = _dot(X_r, c1, dn1, acc) + _dot(X_i, s1, dn1, acc)
-    yi = _dot(X_i, c1, dn1, acc) - _dot(X_r, s1, dn1, acc)
-    zr = yr * tbc + yi * tbs
-    zi = yi * tbc - yr * tbs
-    # step 2: contract b (sublane) -> (..., c, d); minor transpose to
-    # (..., d, c) for the d-major natural-order merge
-    nd = zr.ndim
-    dn2 = (((nd - 2,), (0,)), ((), ()))
-    wr = _dot(zr, c2, dn2, acc) + _dot(zi, s2, dn2, acc)   # (..., c, d)
-    wi = _dot(zi, c2, dn2, acc) - _dot(zr, s2, dn2, acc)
+    nd = xr.ndim
+    if n1 > _MAC_MAX_N1:
+        dn1 = (((nd - 2,), (0,)), ((), ()))
+        yr = _dot(xr, c1, dn1, acc) + _dot(xi, s1, dn1, acc)
+        yi = _dot(xi, c1, dn1, acc) - _dot(xr, s1, dn1, acc)
+        zr = yr * tbc + yi * tbs
+        zi = yi * tbc - yr * tbs
+        dn2 = (((nd - 2,), (0,)), ((), ()))
+        rc, rs = _mm_pair(zr, c2, s2, dn2, acc)   # (..., c, d)
+        ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
+        wr, wi = rc + is_, ic - rs
+        perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
+        return jnp.transpose(wr, perm), jnp.transpose(wi, perm)
+    parts = [(xr[..., a, :], xi[..., a, :]) for a in range(n1)]
+    coef = _np_coef(n1, sign=mac_sign)
+    zs = _dft_sublane_mac(parts, coef, n1)   # list of (..., b) pairs, idx c
+    # twiddle rows [c, b]: multiply by (tr - i*ts); sign lives in tbs
+    tcb_r = jnp.transpose(tbc)
+    tcb_s = jnp.transpose(tbs)
+    zr_rows = []
+    zi_rows = []
+    for c, (yr, yi) in enumerate(zs):
+        tr = tcb_r[c]
+        ts = tcb_s[c]
+        zr_rows.append(yr * tr + yi * ts)
+        zi_rows.append(yi * tr - yr * ts)
+    zr = jnp.stack(zr_rows, axis=-2)  # (..., c, b) full-lane
+    zi = jnp.stack(zi_rows, axis=-2)
+    dn2 = (((zr.ndim - 1,), (0,)), ((), ()))   # contract b (lane, K=n2)
+    rc, rs = _mm_pair(zr, c2, s2, dn2, acc)    # (..., c, d)
+    ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
+    wr, wi = rc + is_, ic - rs
     perm = tuple(range(nd - 2)) + (nd - 1, nd - 2)
-    wr = jnp.transpose(wr, perm)  # (..., d, c)
-    wi = jnp.transpose(wi, perm)
-    return wr, wi  # grid T[d, c]: flatten outside -> natural order
+    # minor (c, d) -> (d, c) transpose: grid T[d, c] flattens to natural order
+    return jnp.transpose(wr, perm), jnp.transpose(wi, perm)
 
 
-def _fourstep_kernel(n1, n2, xr_ref, xi_ref, c1, s1, c2, s2, tbc, tbs,
-                     or_ref, oi_ref):
+def _fourstep_kernel(n1, n2, mac_sign, xr_ref, xi_ref, c1, s1, c2, s2,
+                     tbc, tbs, or_ref, oi_ref):
     or_ref[:], oi_ref[:] = fourstep_grid_complex(
         xr_ref[:], xi_ref[:], n1, n2,
-        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:],
+        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:], mac_sign=mac_sign,
     )
 
 
@@ -288,8 +385,9 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     dt = xr.dtype
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
     ss = 1.0 if sign < 0 else -1.0  # inverse = conjugate: negate sin grids
-    tabs = [jnp.asarray(a, dt) for a in
-            (c1_, ss * s1_, c2_, ss * s2_, tbc_, ss * tbs_)]
+    tabs = [jnp.asarray(c1_, dt), jnp.asarray(ss * s1_, dt),
+            _tab(c2_, dt), _tab(ss * s2_, dt),
+            jnp.asarray(tbc_, dt), jnp.asarray(ss * tbs_, dt)]
     tb = min(_batch_tile(n, dt.itemsize), max(8, b))
     bp = -(-b // tb) * tb
     if bp != b:
@@ -304,7 +402,7 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     bs_t = lambda a: pl.BlockSpec(a.shape, (lambda i: (0,) * a.ndim),
                                   memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
-        functools.partial(_fourstep_kernel, n1, n2),
+        functools.partial(_fourstep_kernel, n1, n2, ss),
         grid=grid,
         in_specs=[bs_in, bs_in] + [bs_t(t_) for t_ in tabs],
         out_specs=(bs_out, bs_out),
@@ -400,6 +498,89 @@ def fft_radix2_stages(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
         interpret=True,  # structural path: see docstring
     )(xr, xi, twc, tws)
     return yr[:b], yi[:b]
+
+
+# ---------------------------------------------------------------------------
+# radix-2 butterfly kernel, batch-in-lanes (TPU-compiled structural path)
+# ---------------------------------------------------------------------------
+
+
+def _radix2_lanes_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
+    """All log2(n) DIT butterfly stages on a (n, 128) batch-in-lanes tile.
+
+    The classic in-place C loop vectorizes across the batch: data sits
+    TRANSPOSED with the transform on the SUBLANE axis and 128 channels on
+    lanes, so every stage's stride-m pairing is a sublane reshape/slice —
+    legal in Mosaic for any m (only lane reshapes are banned) — and every
+    butterfly runs at full lane width.  Twiddles are generated in-kernel
+    from a sublane iota + cos/sin (a narrow (g, m, 1) transient; table
+    inputs in this layout would waste 128x VMEM on 1-lane vregs).
+    """
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    L = xr.shape[-1]
+    stages = n.bit_length() - 1
+    for s in range(stages):
+        m = 1 << s
+        g = n // (2 * m)
+        ar = xr.reshape(g, 2, m, L)
+        ai = xi.reshape(g, 2, m, L)
+        er, ei = ar[:, 0], ai[:, 0]
+        our, oui = ar[:, 1], ai[:, 1]
+        if m == 1:
+            pr, pi = our, oui  # w = 1
+        else:
+            p = jax.lax.broadcasted_iota(xr.dtype, (1, m, 1), 1)
+            ang = (sign * np.pi / m) * p
+            wc = jnp.cos(ang)
+            ws = jnp.sin(ang)
+            pr = our * wc - oui * ws
+            pi = our * ws + oui * wc
+        xr = jnp.concatenate([er + pr, er - pr], axis=1).reshape(n, L)
+        xi = jnp.concatenate([ei + pi, ei - pi], axis=1).reshape(n, L)
+    or_ref[:] = xr
+    oi_ref[:] = xi
+
+
+def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
+    """Batched radix-2 DIT FFT compiled for TPU: bit-reversal (XLA gather,
+    fused with the batch transpose) + ALL butterfly stages in one Pallas
+    kernel.  Structural parity with the classic C loop (same stage order,
+    same twiddles), laid out batch-in-lanes (see _radix2_lanes_kernel).
+
+    The (B, n) <-> (n, B) transposes cost one extra HBM pass each; the
+    four-step kernel remains the performance path (BASELINE.json:5 names
+    this kernel's butterflies; roofline.py reports both).
+    """
+    check(xr.ndim == 2 and xr.shape == xi.shape,
+          'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
+    b, n = xr.shape
+    check(n & (n - 1) == 0 and n >= 8, "power-of-two n >= 8 required")
+    check_kernel_dtype(xr.dtype)
+    dt = xr.dtype
+    rev = jnp.asarray(_bitrev(n))
+    # bit-reversal gather + transpose to batch-in-lanes in one XLA move
+    xr_t = jnp.take(xr, rev, axis=-1).T  # (n, b)
+    xi_t = jnp.take(xi, rev, axis=-1).T
+    L = 128
+    bp = -(-b // L) * L
+    if bp != b:
+        pad = ((0, 0), (0, bp - b))
+        xr_t, xi_t = jnp.pad(xr_t, pad), jnp.pad(xi_t, pad)
+    grid = (bp // L,)
+    bs = pl.BlockSpec((n, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_radix2_lanes_kernel, n, -1.0 if sign < 0 else 1.0),
+        grid=grid,
+        in_specs=[bs, bs],
+        out_specs=(bs, bs),
+        out_shape=(jax.ShapeDtypeStruct((n, bp), dt),
+                   jax.ShapeDtypeStruct((n, bp), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xr_t, xi_t)
+    return yr.T[:b], yi.T[:b]
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
-    _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
+    _split_n, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
@@ -222,12 +222,11 @@ def noise_gate_fused(
     nrows_in = xp.shape[-1] // n2
     xp3 = xp[:, : nrows_in * n2].reshape(bp, nrows_in, n2)
 
-    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(nfft)
     inv_norm = jnp.asarray(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = [jnp.asarray(a, dt) for a in (c1_, s1_, c2_, s2_, tbc_, tbs_)]
+    tabs = grid_table_arrays(nfft, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

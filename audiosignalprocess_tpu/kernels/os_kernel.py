@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
-    _grid_tables, _split_n, fourstep_grid_fwd, fourstep_grid_inv_real,
+    _split_n, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
 )
 from audiosignalprocess_tpu.utils.validate import check
 
@@ -137,12 +137,11 @@ def overlap_save_fused(
     nrows = xp.shape[-1] // n2
     xp3 = xp[:, : nrows * n2].reshape(bp, nrows, n2)
 
-    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(nfft)
     hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
     # grid layout Hg[c, d] = Hf[n1*d + c]
     hg = hf.reshape(n2, n1).T
-    consts = [jnp.asarray(a, dt) for a in
-              (c1_, s1_, c2_, s2_, tbc_, tbs_, hg.real.copy(), hg.imag.copy())]
+    consts = grid_table_arrays(nfft, dt) + [
+        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
 
     bs_c = lambda shape: pl.BlockSpec(
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)

@@ -237,6 +237,133 @@ def sharded_noise_gate(
 
 
 # ---------------------------------------------------------------------------
+# Sharded phase-vocoder time stretch (SURVEY.md §2 row 14)
+# ---------------------------------------------------------------------------
+
+
+def stretch_shard_body(
+    x: jnp.ndarray,
+    p: int,
+    q: int,
+    nfft: int,
+    hop: int,
+    window_kind: str = "hann",
+    impl: str = fft_ops.DEFAULT_IMPL,
+    axis_name: str = "time",
+) -> jnp.ndarray:
+    """Per-shard phase-vocoder time stretch at exact rational rate p/q;
+    output == StretchStage.full(x) restricted to this shard's region.
+
+    Cross-shard design: one frame of right halo covers every interpolation
+    pair (the static local slot k_loc = (u*p)//q never exceeds m-1), the
+    synthesis phase — a prefix sum of dphi over ALL synthesis frames — is
+    completed with an all_gather of per-shard dphi totals (the
+    associative_scan over shards, materialized), and phase0 broadcasts
+    from shard 0 with a psum, like the gate's noise floor.  The OLA spill
+    rides the same send_right_add as the sharded gate.
+    """
+    dtype = x.dtype
+    d = nfft - hop
+    l = x.shape[-1]
+    check(l % hop == 0 and l >= nfft, "shard length must be >= nfft, hop-aligned")
+    m = l // hop
+    check((m * q) % p == 0, f"shard frames {m} * q must be a multiple of p={p}")
+    mo = m * q // p
+    r = nfft // hop
+    check(mo >= r, f"shard emits {mo} synthesis frames < nfft/hop={r}")
+    n_sh = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    n_glob = l * n_sh
+    nf_glob = 1 + (n_glob - nfft) // hop
+    nof = (((nf_glob - 1) * q - 1) // p) + 1
+    from audiosignalprocess_tpu.effects.phase_vocoder import (
+        cumrotor, unit_rotor,
+    )
+
+    w = jnp.asarray(window_np(window_kind, nfft), dtype)
+    ext = halo_right(x, nfft, axis_name)  # d + hop halo -> m+1 local frames
+    frames = frame_op(ext, nfft, hop)
+    spec = fft_ops.rfft(frames * w, impl=impl)  # (..., m+1, nbins)
+    # z0 rotor (unit(global frame 0)) broadcast from shard 0, planar psum
+    f0r, f0i = unit_rotor(jnp.real(spec[..., 0:1, :]).astype(dtype),
+                          jnp.imag(spec[..., 0:1, :]).astype(dtype))
+    z0r = lax.psum(jnp.where(idx == 0, f0r, jnp.zeros_like(f0r)), axis_name)
+    z0i = lax.psum(jnp.where(idx == 0, f0i, jnp.zeros_like(f0i)), axis_name)
+    # static local analysis slots: global i = idx*mo + u -> k = idx*m + ks[u]
+    ks = np.asarray([(u * p) // q for u in range(mo)])
+    fr = np.asarray([((u * p) % q) / q for u in range(mo)])
+    s0 = spec[..., jnp.asarray(ks), :]
+    s1 = spec[..., jnp.asarray(ks + 1), :]
+    i_glob = idx * mo + jnp.arange(mo, dtype=jnp.int32)
+    emit = (i_glob < nof).astype(dtype)[:, None]
+    # advance rotors (masked frames neutral so shard products compose)
+    s0r, s0i = jnp.real(s0).astype(dtype), jnp.imag(s0).astype(dtype)
+    s1r, s1i = jnp.real(s1).astype(dtype), jnp.imag(s1).astype(dtype)
+    ur, ui = unit_rotor(s1r * s0r + s1i * s0i, s1i * s0r - s1r * s0i)
+    ur = jnp.where(emit > 0, ur, 1.0)
+    ui = jnp.where(emit > 0, ui, 0.0)
+    cr, ci = cumrotor(ur, ui)
+    totr, toti = cr[..., -1:, :], ci[..., -1:, :]
+    # cross-shard prefix: product of earlier shards' rotor totals (the
+    # associative scan over shards, via one all_gather)
+    allR = lax.all_gather(totr, axis_name)
+    allI = lax.all_gather(toti, axis_name)
+    carr = jnp.ones_like(totr)
+    cari = jnp.zeros_like(toti)
+    for j in range(n_sh - 1):
+        sel = (j < idx)
+        br = jnp.where(sel, allR[j], jnp.ones_like(totr))
+        bi = jnp.where(sel, allI[j], jnp.zeros_like(toti))
+        carr, cari = carr * br - cari * bi, carr * bi + cari * br
+    # exclusive local prefix seeded by z0 * carry
+    er = jnp.concatenate([jnp.ones_like(cr[..., :1, :]), cr[..., :-1, :]],
+                         axis=-2)
+    ei = jnp.concatenate([jnp.zeros_like(ci[..., :1, :]), ci[..., :-1, :]],
+                         axis=-2)
+    sr_ = z0r * carr - z0i * cari
+    si_ = z0r * cari + z0i * carr
+    phr = sr_ * er - si_ * ei
+    phi_ = sr_ * ei + si_ * er
+    frac = jnp.asarray(fr, dtype)[:, None]
+    mag = ((1.0 - frac) * jnp.abs(s0) + frac * jnp.abs(s1)).astype(dtype) * emit
+    synth = (mag * (phr + 1j * phi_)).astype(spec.dtype)
+    out_frames = fft_ops.irfft(synth, nfft, impl=impl) * w
+    fr4 = out_frames.reshape(out_frames.shape[:-1] + (r, hop))
+    rows = mo + r - 1
+    acc = jnp.zeros(x.shape[:-1] + (rows, hop), dtype)
+    for jj in range(r):
+        acc = acc.at[..., jj : jj + mo, :].add(fr4[..., :, jj, :])
+    acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : mo * hop + d]
+    num_head = send_right_add(acc[..., mo * hop :], acc[..., :d], axis_name)
+    num = jnp.concatenate([num_head, acc[..., d : mo * hop]], axis=-1)
+    head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
+    out_len = nfft + (nof - 1) * hop
+    pvec = idx * (mo * hop) + jnp.arange(mo * hop, dtype=jnp.int32)
+    head = jnp.asarray(head_np, dtype)
+    tail = jnp.asarray(tail_np, dtype)
+    hsel = head[jnp.clip(pvec, 0, d - 1)]
+    tsel = tail[jnp.clip(pvec - (out_len - d), 0, d - 1)]
+    norm = jnp.where(
+        pvec < d, hsel,
+        jnp.where(pvec < out_len - d, const,
+                  jnp.where(pvec < out_len, tsel, 1.0)),
+    )
+    return num / norm
+
+
+def sharded_time_stretch(mesh: Mesh, p: int, q: int, nfft: int = 1024,
+                         hop: int = 256, window_kind: str = "hann",
+                         impl: str = fft_ops.DEFAULT_IMPL) -> callable:
+    """(C, N) -> (C, N*q/p) phase-vocoder stretch == StretchStage.full,
+    channel+time sharded."""
+
+    def local(x):
+        return stretch_shard_body(x, p, q, nfft, hop, window_kind, impl)
+
+    return _smap(mesh, local)
+
+
+# ---------------------------------------------------------------------------
 # Sharded whole-file chain (config 5 spatial form)
 # ---------------------------------------------------------------------------
 
@@ -244,7 +371,9 @@ def sharded_noise_gate(
 def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndarray:
     """Apply a pipeline.Chain to one (channel, time) shard with halos.
     Output == chain.full(x) restricted to this shard."""
-    from audiosignalprocess_tpu.pipeline import FIRStage, GateStage, ResampleStage
+    from audiosignalprocess_tpu.pipeline import (
+        FIRStage, GateStage, ResampleStage, StretchStage,
+    )
 
     for s in chain.stages:
         if isinstance(s, FIRStage):
@@ -273,6 +402,9 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
                                 s.reduction_db, s.noise_frames,
                                 s.window_kind, s.impl, axis_name,
                                 release=s.release)
+        elif isinstance(s, StretchStage):
+            x = stretch_shard_body(x, s.p, s.q, s.nfft, s.hop,
+                                   s.window_kind, s.impl, axis_name)
         else:
             raise NotImplementedError(f"sharded chain stage: {type(s).__name__}")
     return x

@@ -46,6 +46,30 @@ from audiosignalprocess_tpu.ops.windows import window_np
 from audiosignalprocess_tpu.utils.validate import check
 
 
+def _wola_const_norm(nfft: int, hop: int, window_kind: str) -> float:
+    """Interior WOLA norm (COLA constant: sum_k w^2[n-k*hop])."""
+    w2 = window_np(window_kind, nfft) ** 2
+    r = nfft // hop
+    cols = np.sum(w2.reshape(r, hop), axis=0)
+    check(np.allclose(cols, cols[0]), "window/hop is not COLA for w^2")
+    return float(cols[0])
+
+
+def _wola_head_norm(nfft: int, hop: int, window_kind: str) -> np.ndarray:
+    """Per-sample WOLA norm over the first nfft-hop output samples (the
+    ramp-in region of the whole-file istft)."""
+    w2 = window_np(window_kind, nfft) ** 2
+    d = nfft - hop
+    norm = np.zeros(d)
+    for k in range(d // hop + 1):
+        lo = k * hop
+        if lo >= d:
+            break
+        seg = min(nfft, d - lo)
+        norm[lo : lo + seg] += w2[:seg]
+    return np.maximum(norm, 1e-12)
+
+
 class Stage:
     """Streaming stage protocol.  Latency is in output samples."""
 
@@ -199,26 +223,10 @@ class GateStage(Stage):
     # -- streaming ---------------------------------------------------------
 
     def _norm_const(self) -> float:
-        """Interior WOLA norm (COLA constant: sum_k w^2[n-k*hop])."""
-        w2 = window_np(self.window_kind, self.nfft) ** 2
-        r = self.nfft // self.hop
-        cols = np.sum(w2.reshape(r, self.hop), axis=0)
-        check(np.allclose(cols, cols[0]), "window/hop is not COLA for w^2")
-        return float(cols[0])
+        return _wola_const_norm(self.nfft, self.hop, self.window_kind)
 
     def _head_norm(self) -> np.ndarray:
-        """Per-sample WOLA norm over the first nfft-hop output samples
-        (the ramp-in region of the whole-file istft)."""
-        w2 = window_np(self.window_kind, self.nfft) ** 2
-        d = self.nfft - self.hop
-        norm = np.zeros(d)
-        for k in range(d // self.hop + 1):
-            lo = k * self.hop
-            if lo >= d:
-                break
-            seg = min(self.nfft, d - lo)
-            norm[lo : lo + seg] += w2[:seg]
-        return np.maximum(norm, 1e-12)
+        return _wola_head_norm(self.nfft, self.hop, self.window_kind)
 
     def init_state(self, batch, block, dtype):
         check(block % self.hop == 0 and block >= self.hop, 'guard failed: block % self.hop == 0 and block >= self.hop')
@@ -317,6 +325,203 @@ class GateStage(Stage):
         )
         if rel_state is not None:
             new_state["rel"] = rel_state
+        return new_state, y.astype(dtype)
+
+
+@dataclass
+class StretchStage(Stage):
+    """Streaming phase-vocoder time stretch at the EXACT rational rate
+    p/q (analysis frames advanced per synthesis frame; p > q speeds up).
+
+    TPU-native streaming design — all static shapes, no dynamic control
+    flow (SURVEY.md §2 row 14):
+
+    - Output frame i samples analysis position t_i = i*p/q.  With block
+      frames m = block/hop such that m*q % p == 0, every block emits
+      exactly mo = m*q/p synthesis frames.
+    - The emission offset ``off`` (warm-up frames, = latency/hop) is
+      chosen so frame availability holds for every block — and it makes
+      the analysis-FIFO read positions for slot u BLOCK-INDEPENDENT:
+      slot_u = D - m + n_skip + floor((u-off)*p/q), a static slice.
+    - Phase accumulation (a prefix sum over synthesis frames) carries one
+      per-bin accumulator; within a block it is a cumsum.
+    - phase0 (the first true analysis frame's phase) is captured by a
+      one-hot match on the physical frame counter.
+    - WOLA synthesis reuses the gate's OLA-tail carry + head-ramp/const
+      normalization (the stream never emits the finite-file tail ramp).
+
+    Streaming contract: emitted[L:] == full(x)[:emitted-L] for all
+    interior samples (positions < full's natural length minus nfft-hop;
+    the whole-file tail ramp has no streaming counterpart).
+    """
+
+    p: int
+    q: int
+    nfft: int = 1024
+    hop: int = 256
+    window_kind: str = "hann"
+    impl: str = fft_ops.DEFAULT_IMPL
+    input_latency: int = 0
+
+    def __post_init__(self):
+        g = math.gcd(self.p, self.q)
+        self.p //= g
+        self.q //= g
+        check(self.nfft % self.hop == 0, "nfft must be a multiple of hop")
+
+    def configure(self, input_latency: int) -> int:
+        check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
+        self.input_latency = input_latency
+        d = self.nfft - self.hop
+        # physical frames (starting at stream pos -d) before the first
+        # true analysis frame
+        self.n_skip = (input_latency + d) // self.hop
+        # smallest block-independent warm-up satisfying
+        # (mo-1-off)*p < (m - n_skip - 1)*q  for every block:
+        self.off = -(-((self.n_skip + 1) * self.q + 1) // self.p) - 1
+        self.latency = self.off * self.hop
+        return self.latency
+
+    def out_block(self, b: int) -> int:
+        check(b % self.hop == 0, f"block {b} not a multiple of hop={self.hop}")
+        m = b // self.hop
+        check((m * self.q) % self.p == 0, f"block frames {m} * q must be a multiple of p={self.p}")
+        return (m * self.q // self.p) * self.hop
+
+    def full(self, x):
+        from audiosignalprocess_tpu.effects.phase_vocoder import (
+            stretch_spec_rational,
+        )
+        from audiosignalprocess_tpu.ops.stft import istft, stft
+
+        spec = stft(x, self.nfft, self.hop, self.window_kind, impl=self.impl)
+        out = stretch_spec_rational(spec, self.p, self.q, self.nfft, self.hop)
+        y = istft(out, self.nfft, self.hop, self.window_kind, impl=self.impl)
+        target = x.shape[-1] * self.q // self.p
+        pad = target - y.shape[-1]
+        if pad > 0:
+            y = jnp.concatenate(
+                [y, jnp.zeros(y.shape[:-1] + (pad,), y.dtype)], axis=-1)
+        return y[..., :target]
+
+    # -- streaming ---------------------------------------------------------
+
+    def _slots(self, m: int):
+        """Static FIFO geometry for block frames m: (depth, slot[u], frac[u])."""
+        mo = m * self.q // self.p
+        co = -(-(self.off * self.p) // self.q)  # ceil(off*p/q)
+        depth = max(m + co - self.n_skip, 2)
+        ko = [( (u - self.off) * self.p) // self.q for u in range(mo)]
+        fr = [(((u - self.off) * self.p) % self.q) / self.q for u in range(mo)]
+        slots = [depth - m + self.n_skip + k for k in ko]
+        check(all(0 <= s and s + 1 < depth for s in slots),
+              f"internal: FIFO slot out of range (m={m})")
+        return depth, np.asarray(slots), np.asarray(fr)
+
+    def init_state(self, batch, block, dtype):
+        m = block // self.hop
+        self.out_block(block)  # validates alignment
+        d = self.nfft - self.hop
+        nbins = self.nfft // 2 + 1
+        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        depth, _, _ = self._slots(m)
+        return dict(
+            in_tail=jnp.zeros(batch + (d,), dtype),
+            fifo=jnp.zeros(batch + (depth, nbins), cdt),
+            # planar rotors (see effects.phase_vocoder rotor notes):
+            # z0 = unit(first true frame), captured once; acc = running
+            # product of per-frame advance rotors (neutral init)
+            z0r=jnp.zeros(batch + (1, nbins), dtype),
+            z0i=jnp.zeros(batch + (1, nbins), dtype),
+            accr=jnp.ones(batch + (1, nbins), dtype),
+            acci=jnp.zeros(batch + (1, nbins), dtype),
+            ola_tail=jnp.zeros(batch + (d,), dtype),
+            blk=jnp.zeros((), jnp.int32),
+        )
+
+    def step(self, state, x):
+        b = x.shape[-1]
+        m = b // self.hop
+        mo = m * self.q // self.p
+        d = self.nfft - self.hop
+        dtype = x.dtype
+        depth, slots, fr = self._slots(m)
+        w = jnp.asarray(window_np(self.window_kind, self.nfft), dtype)
+        ext = jnp.concatenate([state["in_tail"], x], axis=-1)
+        frames = frame_op(ext, self.nfft, self.hop)  # (..., m, nfft)
+        spec = fft_ops.rfft(frames * w, impl=self.impl)
+        from audiosignalprocess_tpu.effects.phase_vocoder import (
+            cumrotor, unit_rotor,
+        )
+        # capture z0 when the first true frame (physical n_skip) arrives
+        phys = state["blk"] * m + jnp.arange(m, dtype=jnp.int32)
+        hit = (phys == self.n_skip).astype(dtype)[:, None]
+        fur, fui = unit_rotor(jnp.real(spec).astype(dtype),
+                              jnp.imag(spec).astype(dtype))
+        z0r = state["z0r"] + jnp.sum(fur * hit, axis=-2, keepdims=True)
+        z0i = state["z0i"] + jnp.sum(fui * hit, axis=-2, keepdims=True)
+        fifo = jnp.concatenate([state["fifo"], spec], axis=-2)[..., -depth:, :]
+        # synthesis slots (static FIFO reads)
+        s0 = fifo[..., jnp.asarray(slots), :]
+        s1 = fifo[..., jnp.asarray(slots + 1), :]
+        i_glob = state["blk"] * mo + jnp.arange(mo, dtype=jnp.int32) - self.off
+        emit = (i_glob >= 0).astype(dtype)[:, None]
+        # advance rotors u = unit(s1 conj s0); masked slots are neutral
+        s0r, s0i = jnp.real(s0).astype(dtype), jnp.imag(s0).astype(dtype)
+        s1r, s1i = jnp.real(s1).astype(dtype), jnp.imag(s1).astype(dtype)
+        ur, ui = unit_rotor(s1r * s0r + s1i * s0i, s1i * s0r - s1r * s0i)
+        ur = jnp.where(emit > 0, ur, 1.0)
+        ui = jnp.where(emit > 0, ui, 0.0)
+        cr, ci = cumrotor(ur, ui)
+        # exclusive prefix within the block, seeded by the carry rotor
+        er = jnp.concatenate([jnp.ones_like(cr[..., :1, :]),
+                              cr[..., :-1, :]], axis=-2)
+        ei = jnp.concatenate([jnp.zeros_like(ci[..., :1, :]),
+                              ci[..., :-1, :]], axis=-2)
+        ar_, ai_ = state["accr"], state["acci"]
+        pr_ = ar_ * er - ai_ * ei
+        pi_ = ar_ * ei + ai_ * er
+        phr = z0r * pr_ - z0i * pi_
+        phi_ = z0r * pi_ + z0i * pr_
+        accr = ar_ * cr[..., -1:, :] - ai_ * ci[..., -1:, :]
+        acci = ar_ * ci[..., -1:, :] + ai_ * cr[..., -1:, :]
+        frac = jnp.asarray(fr, dtype)[:, None]
+        mag = ((1.0 - frac) * jnp.abs(s0) + frac * jnp.abs(s1)).astype(dtype)
+        mag = mag * emit
+        synth = (mag * (phr + 1j * phi_)).astype(s0.dtype)
+        out_frames = fft_ops.irfft(synth, self.nfft, impl=self.impl) * w
+        # OLA of mo frames -> mo*hop emitted + d tail (same as GateStage)
+        r = self.nfft // self.hop
+        fr4 = out_frames.reshape(out_frames.shape[:-1] + (r, self.hop))
+        rows = mo + r - 1
+        acc_ola = jnp.zeros(x.shape[:-1] + (rows, self.hop), dtype)
+        for j in range(r):
+            acc_ola = acc_ola.at[..., j : j + mo, :].add(fr4[..., :, j, :])
+        acc_ola = acc_ola.reshape(x.shape[:-1] + (rows * self.hop,))
+        acc_ola = acc_ola[..., : mo * self.hop + d]
+        acc_ola = acc_ola.at[..., :d].add(state["ola_tail"])
+        emit_num = acc_ola[..., : mo * self.hop]
+        ola_tail = acc_ola[..., mo * self.hop :]
+        # WOLA norm at whole-file-output positions (head ramp + const)
+        pvec = (state["blk"] * mo - self.off) * self.hop + jnp.arange(
+            mo * self.hop, dtype=jnp.int32)
+        head = jnp.asarray(_wola_head_norm(self.nfft, self.hop,
+                                           self.window_kind), dtype)
+        const = jnp.asarray(_wola_const_norm(self.nfft, self.hop,
+                                             self.window_kind), dtype)
+        idx = jnp.clip(pvec, 0, d - 1)
+        norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+        y = emit_num / norm
+        new_state = dict(
+            in_tail=ext[..., -d:],
+            fifo=fifo,
+            z0r=z0r,
+            z0i=z0i,
+            accr=accr,
+            acci=acci,
+            ola_tail=ola_tail,
+            blk=(state["blk"] + 1).astype(jnp.int32),
+        )
         return new_state, y.astype(dtype)
 
 

@@ -100,31 +100,32 @@ def main():
     args = p.parse_args()
     chip = detect_chip()
     meas = measure_achievable_gbps()
-    rows = []
+    # stream every row as it completes (the relayed chip compiles slowly;
+    # a buffered report loses everything on timeout)
+    if args.json:
+        print(json.dumps({"achievable_gbps": round(meas, 1),
+                          "spec_gbps": chip.hbm_gbps}), flush=True)
+    else:
+        print(f"chip: {chip.name} (HBM spec {chip.hbm_gbps} GB/s, "
+              f"measured achievable {meas:.0f} GB/s)", flush=True)
+        print(f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} "
+              f"{'SoL/spec':>9} {'SoL/meas':>9}", flush=True)
     for impl in args.impls.split(","):
         for n in map(int, args.sizes.split(",")):
             dt, gflops, gbps = bench_fft(impl, args.batch, n,
                                          complex_in=not args.rfft)
-            rows.append(dict(impl=impl, n=n, batch=args.batch,
-                             ms=round(dt * 1e3, 3), gflops=round(gflops, 1),
-                             hbm_gbps=round(gbps, 1),
-                             roofline_frac=round(gbps / chip.hbm_gbps, 3),
-                             measured_frac=round(gbps / meas, 3)))
-    if args.json:
-        print(json.dumps({"achievable_gbps": round(meas, 1),
-                          "spec_gbps": chip.hbm_gbps}))
-        for r in rows:
-            print(json.dumps(r))
-    else:
-        print(f"chip: {chip.name} (HBM spec {chip.hbm_gbps} GB/s, "
-              f"measured achievable {meas:.0f} GB/s)")
-        hdr = (f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} "
-               f"{'SoL/spec':>9} {'SoL/meas':>9}")
-        print(hdr)
-        for r in rows:
-            print(f"{r['impl']:>10} {r['n']:>6} {r['ms']:>8} {r['gflops']:>9} "
-                  f"{r['hbm_gbps']:>8} {100*r['roofline_frac']:>8.1f}% "
-                  f"{100*r['measured_frac']:>8.1f}%")
+            r = dict(impl=impl, n=n, batch=args.batch,
+                     ms=round(dt * 1e3, 3), gflops=round(gflops, 1),
+                     hbm_gbps=round(gbps, 1),
+                     roofline_frac=round(gbps / chip.hbm_gbps, 3),
+                     measured_frac=round(gbps / meas, 3))
+            if args.json:
+                print(json.dumps(r), flush=True)
+            else:
+                print(f"{r['impl']:>10} {r['n']:>6} {r['ms']:>8} "
+                      f"{r['gflops']:>9} {r['hbm_gbps']:>8} "
+                      f"{100*r['roofline_frac']:>8.1f}% "
+                      f"{100*r['measured_frac']:>8.1f}%", flush=True)
 
 
 if __name__ == "__main__":

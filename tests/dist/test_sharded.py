@@ -189,3 +189,43 @@ class TestShardedGateRelease:
         ref = np.asarray(noise_gate(x, 1024, 256, noise_frames=8, release=0.8))
         np.testing.assert_allclose(out[..., : ref.shape[-1]], ref,
                                    rtol=1e-8, atol=1e-8)
+
+
+class TestShardedStretch:
+    """Sharded phase vocoder == StretchStage.full (SURVEY.md §2 row 14:
+    cross-shard phase continuity via gathered per-shard dphi prefix)."""
+
+    @pytest.mark.parametrize("p,q,ch,tm", ((3, 4, 2, 4), (4, 3, 1, 8),
+                                           (147, 160, 2, 4)))
+    def test_matches_full(self, rng, p, q, ch, tm):
+        from audiosignalprocess_tpu.parallel.sharded import sharded_time_stretch
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        st = StretchStage(p=p, q=q, nfft=1024, hop=256)
+        st.configure(0)
+        m = p * max(1, 8 // p + 1) * 4
+        l = m * 256
+        x = rng.standard_normal((4, tm * l))
+        mesh = make_mesh(channel=ch, time=tm)
+        out = np.asarray(sharded_time_stretch(mesh, p, q, 1024, 256)(
+            shard_audio(x, mesh)))
+        ref = np.asarray(st.full(jnp.asarray(x)))
+        assert out.shape == ref.shape
+        assert oracle.snr_db(ref + 1e-30, out + 1e-30) >= 180.0
+
+    def test_chain_with_stretch(self, rng):
+        """sharded_chain routes StretchStage through stretch_shard_body."""
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        h = oracle.design_fir(64, 0.25)
+        chain = Chain([FIRStage(h=h), StretchStage(p=4, q=3, nfft=1024,
+                                                   hop=256)])
+        chain.build()
+        mesh = make_mesh(channel=2, time=4)
+        l = 4 * 16 * 256
+        x = rng.standard_normal((4, 4 * l))
+        fn = sharded_chain(mesh, chain)
+        out = np.asarray(fn(shard_audio(x, mesh)))
+        ref = np.asarray(chain.full(jnp.asarray(x)))
+        assert out.shape == ref.shape
+        assert oracle.snr_db(ref + 1e-30, out + 1e-30) >= 180.0

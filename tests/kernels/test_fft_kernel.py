@@ -96,3 +96,33 @@ class TestImplRegistry:
         ref = oracle.fir_direct(x.astype(np.float64), h)
         out = np.asarray(overlap_save(x, h, 1024, impl="pallas"))
         assert oracle.snr_db(ref, out) >= 60.0
+
+
+class TestBf16x3Emulation:
+    """3-pass bf16 f32-matmul emulation (ASP_MATMUL_MODE=bf16x3): the
+    TPU perf mode, ~109 dB SNR in interpret mode — well over the 60 dB
+    bound (docs/PERF.md precision study)."""
+
+    @pytest.mark.parametrize("n", (1024, 4096))
+    def test_fourstep_bf16x3_snr(self, rng, monkeypatch, n):
+        monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
+        import jax.numpy as jnp
+        from audiosignalprocess_tpu.kernels.fft_kernel import fft_fourstep
+
+        xr = rng.standard_normal((8, n)).astype(np.float32)
+        xi = rng.standard_normal((8, n)).astype(np.float32)
+        yr, yi = fft_fourstep(jnp.asarray(xr), jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.concatenate([np.asarray(yr), np.asarray(yi)]).astype(np.float64)
+        want = np.concatenate([ref.real, ref.imag])
+        assert oracle.snr_db(want, got) >= 95.0
+
+    def test_fused_gate_bf16x3_snr(self, rng, monkeypatch):
+        monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
+        from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
+
+        x = rng.standard_normal((2, 16384)).astype(np.float32)
+        out = np.asarray(noise_gate_fused(x, 1024, 256, noise_frames=8))
+        ref = np.stack([oracle.noise_gate(x[c].astype(np.float64), 1024, 256)
+                        for c in range(2)])
+        assert oracle.snr_db(ref, out.astype(np.float64)) >= 80.0

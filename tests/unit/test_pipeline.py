@@ -209,3 +209,69 @@ class TestGateRelease:
         y0 = np.asarray(noise_gate(x, 1024, 256, noise_frames=4, release=0.0))
         y1 = np.asarray(noise_gate(x, 1024, 256, noise_frames=4, release=0.9))
         assert not np.allclose(y0, y1)
+
+
+class TestStretchStage:
+    """Streaming phase vocoder (SURVEY.md §2 row 14): stream == full at
+    exact rational rates, interior-sample comparison (the whole-file tail
+    ramp has no streaming counterpart — see StretchStage docstring)."""
+
+    @staticmethod
+    def _compare(chain, x, block, min_snr=180.0):
+        lat = chain.build()
+        full = np.asarray(chain.full(x))
+        stream = np.asarray(chain.stream(x, block))
+        got = stream[..., lat:]
+        end = min(got.shape[-1], full.shape[-1]) - 2048  # skip tail region
+        g, w = got[..., :end], full[..., :end]
+        assert oracle.snr_db(w + 1e-30, g + 1e-30) >= min_snr
+
+    @pytest.mark.parametrize("p,q", ((3, 4), (4, 3), (1, 2), (147, 160)))
+    def test_stream_equals_full(self, rng, p, q):
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        st = StretchStage(p=p, q=q, nfft=1024, hop=256)
+        chain = Chain([st])
+        m = p * max(1, 16 // p + 1)
+        block = m * 256
+        x = rng.standard_normal((2, block * 8))
+        self._compare(chain, x, block)
+
+    def test_after_gate(self, rng):
+        """Stretch downstream of a latency-producing stage."""
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        chain = Chain([
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+            StretchStage(p=4, q=3, nfft=1024, hop=256),
+        ])
+        block = 4 * 16 * 256
+        x = rng.standard_normal((2, block * 6))
+        self._compare(chain, x, block)
+
+    def test_pitch_shift_chain(self, rng):
+        """Pitch shift = stretch 1/factor + resample (factor 2 = +1 octave):
+        streaming == whole-file through the composed chain."""
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        chain = Chain([
+            StretchStage(p=1, q=2, nfft=1024, hop=256),
+            ResampleStage(up=1, down=2),
+        ])
+        block = 2048
+        x = rng.standard_normal((2, block * 8))
+        self._compare(chain, x, block)
+
+    def test_full_matches_time_stretch(self, rng):
+        """StretchStage.full == effects.time_stretch at the same rational
+        rate (integer-exact frame grid)."""
+        from audiosignalprocess_tpu.effects.phase_vocoder import time_stretch
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        x = rng.standard_normal((2, 16384))
+        st = StretchStage(p=3, q=4, nfft=1024, hop=256)
+        st.configure(0)
+        y = np.asarray(st.full(x))
+        ref = np.asarray(time_stretch(x, 0.75))
+        n = min(y.shape[-1], ref.shape[-1])
+        np.testing.assert_allclose(y[..., :n], ref[..., :n], rtol=1e-7, atol=1e-8)
