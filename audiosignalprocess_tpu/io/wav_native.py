@@ -48,6 +48,14 @@ def lib() -> ctypes.CDLL:
     l.asp_wav_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int, ctypes.c_long, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_int]
+    l.asp_wav_open.restype = ctypes.c_void_p
+    l.asp_wav_open.argtypes = [ctypes.c_char_p]
+    l.asp_wav_reader_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(WavInfo)]
+    l.asp_wav_read_block.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_float),
+                                     ctypes.c_long]
+    l.asp_wav_read_block.restype = ctypes.c_long
+    l.asp_wav_reader_close.argtypes = [ctypes.c_void_p]
     l.asp_ring_create.restype = ctypes.c_void_p
     l.asp_ring_create.argtypes = [ctypes.c_int, ctypes.c_long]
     l.asp_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -95,6 +103,41 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 16,
                              rate, bits, int(float_fmt))
     if rc:
         raise ValueError(f"{path}: WAV write failed ({rc})")
+
+
+class WavReader:
+    """Sequential native block decoder (asp_wav_open/read_block): the
+    decode side of the ring-buffer streaming path — pulls fixed planar
+    float32 blocks without loading the file (BASELINE.json:11)."""
+
+    def __init__(self, path: str):
+        self._h = lib().asp_wav_open(path.encode())
+        if not self._h:
+            raise ValueError(f"{path}: WAV open failed")
+        info = WavInfo()
+        lib().asp_wav_reader_info(self._h, ctypes.byref(info))
+        self.rate = info.sample_rate
+        self.channels = info.num_channels
+        self.num_frames = info.num_frames
+
+    def read_block(self, frames: int) -> np.ndarray:
+        """Next (channels, <=frames) planar block; empty at EOF."""
+        out = np.empty((self.channels, frames), dtype=np.float32)
+        got = lib().asp_wav_read_block(self._h, _fp(out), frames)
+        if got < 0:
+            raise ValueError(f"WAV block read failed ({got})")
+        return out[:, :got]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            lib().asp_wav_reader_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class RingBuffer:

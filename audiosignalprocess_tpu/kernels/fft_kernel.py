@@ -530,7 +530,9 @@ def _radix2_lanes_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
         if m == 1:
             pr, pi = our, oui  # w = 1
         else:
-            p = jax.lax.broadcasted_iota(xr.dtype, (1, m, 1), 1)
+            # Mosaic: iota must be integer-typed; cast for the angle math
+            p = jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1).astype(
+                xr.dtype)
             ang = (sign * np.pi / m) * p
             wc = jnp.cos(ang)
             ws = jnp.sin(ang)
@@ -555,7 +557,7 @@ def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     check(xr.ndim == 2 and xr.shape == xi.shape,
           'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
     b, n = xr.shape
-    check(n & (n - 1) == 0 and n >= 8, "power-of-two n >= 8 required")
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
     check_kernel_dtype(xr.dtype)
     dt = xr.dtype
     rev = jnp.asarray(_bitrev(n))

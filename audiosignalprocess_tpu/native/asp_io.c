@@ -133,6 +133,99 @@ long asp_wav_read(const char *path, float *out, long max_frames) {
     return done;
 }
 
+/* ---------------- streaming reader ----------------
+ *
+ * Sequential block decoder for the ring-buffer streaming drivers
+ * (BASELINE.json:11): a decode thread pulls fixed-size planar blocks
+ * while the device thread consumes from the ring — the host-decode /
+ * device-compute overlap the whole-file reader cannot provide. */
+
+typedef struct {
+    FILE *f;
+    asp_wav_info info;
+    long remaining;
+    uint8_t *buf;   /* one interleaved block */
+    long buf_frames;
+} asp_wav_reader;
+
+void *asp_wav_open(const char *path) {
+    asp_wav_info info;
+    if (asp_wav_probe(path, &info)) return NULL;
+    FILE *f = fopen(path, "rb");
+    if (!f) return NULL;
+    uint8_t ch[8];
+    fseek(f, 12, SEEK_SET);
+    long data_pos = -1;
+    while (fread(ch, 1, 8, f) == 8) {
+        uint32_t size = rd_u32(ch + 4);
+        if (!memcmp(ch, "data", 4)) { data_pos = ftell(f); break; }
+        fseek(f, (long)(size + (size & 1)), SEEK_CUR);
+    }
+    if (data_pos < 0) { fclose(f); return NULL; }
+    asp_wav_reader *r = (asp_wav_reader *)calloc(1, sizeof(*r));
+    r->f = f;
+    r->info = info;
+    r->remaining = info.num_frames;
+    r->buf = NULL;
+    r->buf_frames = 0;
+    return r;
+}
+
+int asp_wav_reader_info(void *h, asp_wav_info *info) {
+    if (!h) return -1;
+    *info = ((asp_wav_reader *)h)->info;
+    return 0;
+}
+
+/* Decode the next `frames` frames into planar out[c*frames + i].
+ * Returns frames decoded (< frames at EOF), < 0 on error. */
+long asp_wav_read_block(void *h, float *out, long frames) {
+    asp_wav_reader *r = (asp_wav_reader *)h;
+    if (!r || frames <= 0) return -1;
+    asp_wav_info *info = &r->info;
+    int nch = info->num_channels;
+    int bps = info->bits / 8;
+    if (r->buf_frames < frames) {
+        free(r->buf);
+        r->buf = (uint8_t *)malloc((size_t)(frames * nch * bps));
+        r->buf_frames = frames;
+    }
+    long want = r->remaining < frames ? r->remaining : frames;
+    if (want <= 0) return 0;
+    size_t got = fread(r->buf, (size_t)(nch * bps), (size_t)want, r->f);
+    for (long i = 0; i < (long)got; i++) {
+        for (int c = 0; c < nch; c++) {
+            const uint8_t *p = r->buf + (size_t)(i * nch + c) * bps;
+            float v;
+            if (info->float_fmt && info->bits == 32) {
+                float fv; memcpy(&fv, p, 4); v = fv;
+            } else if (info->bits == 16) {
+                int16_t s = (int16_t)rd_u16(p);
+                v = (float)s / 32768.0f;
+            } else if (info->bits == 24) {
+                int32_t s = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                          | ((uint32_t)p[2] << 16));
+                if (s >= (1 << 23)) s -= (1 << 24);
+                v = (float)s / 8388608.0f;
+            } else if (info->bits == 32) {
+                int32_t s = (int32_t)rd_u32(p);
+                v = (float)((double)s / 2147483648.0);
+            } else { v = 0.0f; }
+            out[(size_t)c * frames + i] = v;
+        }
+    }
+    r->remaining -= (long)got;
+    return (long)got;
+}
+
+void asp_wav_reader_close(void *h) {
+    asp_wav_reader *r = (asp_wav_reader *)h;
+    if (!r) return;
+    if (r->f) fclose(r->f);
+    free(r->buf);
+    free(r);
+}
+
 /* Encode planar float32 -> WAV (bits: 16/24/32 PCM, or float_fmt). */
 int asp_wav_write(const char *path, const float *x, int nch, long nframes,
                   int rate, int bits, int float_fmt) {

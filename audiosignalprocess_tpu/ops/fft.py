@@ -208,6 +208,16 @@ def _fft_pallas(x, sign):
 
 
 def _fft_pallas_r2(x, sign):
+    # batch-in-lanes butterfly kernel: compiles on TPU (the classic DIT
+    # loop vectorized across channels; kernels/fft_kernel.py)
+    from audiosignalprocess_tpu.kernels import fft_kernel
+
+    return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_radix2_lanes)
+
+
+def _fft_pallas_r2_stages(x, sign):
+    # structural mirror of the C in-place loop (lane-reshaping stages:
+    # interpret-only; kept for capability/testing parity)
     from audiosignalprocess_tpu.kernels import fft_kernel
 
     return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_radix2_stages)
@@ -218,7 +228,8 @@ _IMPLS = {
     "splitradix": _fft_splitradix,
     "matmul": _fft_matmul,
     "pallas": _fft_pallas,        # four-step MXU Pallas kernel (perf path)
-    "pallas_r2": _fft_pallas_r2,  # radix-2 butterfly-stage Pallas kernel
+    "pallas_r2": _fft_pallas_r2,  # TPU-compiled butterfly kernel (lanes)
+    "pallas_r2_stages": _fft_pallas_r2_stages,  # interpret-only structural
 }
 
 

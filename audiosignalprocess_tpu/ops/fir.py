@@ -23,12 +23,19 @@ def design_fir(
     return oracle.design_fir(numtaps, cutoff, window_kind, pass_zero=pass_zero)
 
 
-def fir_direct(x: jnp.ndarray, h, history: jnp.ndarray | None = None) -> jnp.ndarray:
+def fir_direct(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
+               fused: bool = False) -> jnp.ndarray:
     """Causal direct-form FIR on the last axis, output length == len(x).
 
     ``history``: optional (..., T-1) previous input samples for streaming
     continuity (defaults to zeros — cold start, matching the oracle).
+    ``fused=True`` routes through the Pallas MAC kernel
+    (kernels/fir_kernel.fir_mac, same semantics).
     """
+    if fused:
+        from audiosignalprocess_tpu.kernels.fir_kernel import fir_mac
+
+        return fir_mac(x, h, history=history)
     x = jnp.asarray(x)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)

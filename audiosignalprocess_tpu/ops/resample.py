@@ -46,6 +46,7 @@ def resample_poly(
     h=None,
     zero_phase: bool = True,
     history: jnp.ndarray | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Rational resample on the last axis.  Output ceil(n*up/down) samples.
 
@@ -53,7 +54,14 @@ def resample_poly(
     (requires zero_phase=False, H a multiple of ``down``, and
     len(x) a multiple of ``down``); returns the len(x)*up/down outputs of
     the new block, continuing the global causal stream exactly.
+    ``fused=True`` routes through the Pallas phase-matrix MXU kernel
+    (kernels/resample_kernel.resample_mac, same semantics).
     """
+    if fused:
+        from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
+
+        return resample_mac(x, up, down, h=h, zero_phase=zero_phase,
+                            history=history)
     g = gcd(up, down)
     up, down = up // g, down // g
     x = jnp.asarray(x)

@@ -224,11 +224,29 @@ def sharded_noise_gate(
     window_kind: str = "hann",
     impl: str = fft_ops.DEFAULT_IMPL,
     release: float = 0.0,
+    fused: bool = False,
 ) -> callable:
     """(C, N) -> (C, N) spectral noise gate == GateStage.full, channel+time
-    sharded (configs 3/5)."""
+    sharded (configs 3/5).
+
+    ``fused=True`` runs the fused Pallas gate kernel per shard when the
+    mesh has no time sharding (channel shards see whole signals); with
+    time sharding the halo/spill jnp body is used (the fused kernel's
+    floor/OLA are whole-signal constructs)."""
+    time_sharded = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        "time", 1) > 1
 
     def local(x):
+        if fused and not time_sharded:
+            from audiosignalprocess_tpu.kernels.gate_kernel import (
+                noise_gate_fused,
+            )
+
+            y = noise_gate_fused(x, nfft, hop, threshold_db, reduction_db,
+                                 noise_frames, release, window_kind)
+            pad = x.shape[-1] - y.shape[-1]
+            return jnp.concatenate(
+                [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
         return gate_shard_body(x, nfft, hop, threshold_db, reduction_db,
                                noise_frames, window_kind, impl,
                                release=release)
@@ -388,7 +406,7 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
                 x = overlap_save(x, s.h, s.nfft, history=hist, impl=s.impl,
                                  fused=s.fused)
             else:
-                x = fir_direct(src, s.h, history=hist)
+                x = fir_direct(src, s.h, history=hist, fused=s.fused)
             if s.post_scale != 1.0:
                 x = x * s.post_scale
         elif isinstance(s, ResampleStage):
@@ -396,7 +414,7 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
             _check_halo(hl, x.shape[-1])
             ext = halo_left(x, hl, axis_name)
             x = resample_poly(x, s.up, s.down, h=s.h, zero_phase=False,
-                              history=ext[..., :hl])
+                              history=ext[..., :hl], fused=s.fused)
         elif isinstance(s, GateStage):
             x = gate_shard_body(x, s.nfft, s.hop, s.threshold_db,
                                 s.reduction_db, s.noise_frames,

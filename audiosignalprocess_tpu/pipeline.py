@@ -112,7 +112,7 @@ class FIRStage(Stage):
             y = overlap_save(x, self.h, self.nfft, history=history,
                              impl=self.impl, fused=self.fused)
         else:
-            y = fir_direct(x, self.h, history=history)
+            y = fir_direct(x, self.h, history=history, fused=self.fused)
         return y * self.post_scale if self.post_scale != 1.0 else y
 
     def full(self, x):
@@ -132,9 +132,10 @@ class FIRStage(Stage):
         return tail, y
 
 
-def EnvelopeStage(h) -> FIRStage:
+def EnvelopeStage(h, fused: bool = False) -> FIRStage:
     """Envelope follower as a stage: |x| -> FIR lowpass -> *pi/2."""
-    return FIRStage(h=np.asarray(h), pre="abs", post_scale=math.pi / 2.0)
+    return FIRStage(h=np.asarray(h), pre="abs", post_scale=math.pi / 2.0,
+                    fused=fused)
 
 
 @dataclass
@@ -146,6 +147,7 @@ class ResampleStage(Stage):
     up: int
     down: int
     h: np.ndarray | None = None
+    fused: bool = False  # route through the Pallas phase-matrix kernel
 
     def __post_init__(self):
         g = math.gcd(self.up, self.down)
@@ -165,14 +167,15 @@ class ResampleStage(Stage):
         return b * self.up // self.down
 
     def full(self, x):
-        return resample_poly(x, self.up, self.down, h=self.h, zero_phase=False)
+        return resample_poly(x, self.up, self.down, h=self.h,
+                             zero_phase=False, fused=self.fused)
 
     def init_state(self, batch, block, dtype):
         return jnp.zeros(batch + (history_len(len(self.h), self.up, self.down),), dtype)
 
     def step(self, state, x):
         y = resample_poly(x, self.up, self.down, h=self.h, zero_phase=False,
-                          history=state)
+                          history=state, fused=self.fused)
         hn = state.shape[-1]
         tail = jnp.concatenate([state, x], axis=-1)[..., -hn:] if hn else state
         return tail, y

@@ -131,3 +131,38 @@ class TestConfig5:
         # the two (algebraically identical) execution orders; the spec
         # bound is SNR-based (BASELINE.json:5).
         assert oracle.snr_db(want.astype(np.float64), got.astype(np.float64)) >= 80.0
+
+
+class TestConfig5Ring:
+    def test_ring_equals_stream_and_restart(self):
+        """Ring-buffer streaming (native decode thread -> SPSC ring ->
+        jitted step) == lax.scan streaming; restart-from-block via the
+        carry checkpoint reproduces the tail exactly (BASELINE.json:11)."""
+        import importlib
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        run_config_5 = importlib.import_module("run_config_5")
+
+        block = 147 * 8
+        x = _tone_noise(4, 44100, 1.0)[:, : block * 8]
+        chain = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=design_fir(64, 0.3), nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+        ])
+        chain.build()
+        with tempfile.TemporaryDirectory() as d:
+            wav = os.path.join(d, "in.wav")
+            write_wav(wav, x, 44100, float_fmt=True)
+            out, nb = run_config_5.run_ring(chain, wav, block, 4)
+            assert nb == 8
+            ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+            # restart-from-block: checkpoint at block 4, resume, tail equal
+            ck = os.path.join(d, "carry.npz")
+            out_a, _ = run_config_5.run_ring(chain, wav, block, 4,
+                                             ckpt=(ck, 4))
+            out_b, _ = run_config_5.run_ring(chain, wav, block, 4, resume=ck)
+            tail = out_a[..., 4 * chain.out_block(block):]
+            np.testing.assert_array_equal(tail, out_b)

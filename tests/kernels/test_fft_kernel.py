@@ -126,3 +126,36 @@ class TestBf16x3Emulation:
         ref = np.stack([oracle.noise_gate(x[c].astype(np.float64), 1024, 256)
                         for c in range(2)])
         assert oracle.snr_db(ref, out.astype(np.float64)) >= 80.0
+
+
+class TestRadix2Lanes:
+    """Batch-in-lanes butterfly kernel (TPU-compilable structural path):
+    all stages sublane-axis ops, twiddles from in-kernel iota+cos/sin."""
+
+    @pytest.mark.parametrize("n", (8, 256, 1024, 4096))
+    def test_forward_inverse(self, rng, n):
+        import jax.numpy as jnp
+
+        xr = rng.standard_normal((5, n)).astype(np.float32)
+        xi = rng.standard_normal((5, n)).astype(np.float32)
+        yr, yi = fft_kernel.fft_radix2_lanes(jnp.asarray(xr),
+                                             jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real, got.imag])) >= 100.0
+        zr, zi = fft_kernel.fft_radix2_lanes(yr, yi, +1.0)
+        back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert oracle.snr_db(
+            np.concatenate([xr, xi]).astype(np.float64),
+            np.concatenate([back.real, back.imag])) >= 100.0
+
+    def test_impl_registry(self, rng):
+        x = rng.standard_normal((3, 512)) + 1j * rng.standard_normal((3, 512))
+        got = np.asarray(fft_ops.fft(x.astype(np.complex64), impl="pallas_r2"))
+        ref = np.fft.fft(x)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real.astype(np.float64),
+                            got.imag.astype(np.float64)])) >= 100.0

@@ -42,6 +42,10 @@ def std_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--check", action="store_true", help="verify vs CPU oracle")
     p.add_argument("--bench", action="store_true", help="timed re-runs")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    # the fused Pallas kernels are the product path (BASELINE.json:5);
+    # --no-fused falls back to the plain XLA formulations
+    p.add_argument("--no-fused", action="store_true",
+                   help="use plain XLA paths instead of fused Pallas kernels")
     return p
 
 

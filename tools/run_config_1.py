@@ -22,7 +22,8 @@ def main():
     x = load_or_make(args, channels=1, rate=RATE)
     h = design_fir(64, 0.25, window_kind="hann")
 
-    fn = jax.jit(lambda v: overlap_save(v, h, 1024))
+    fused = not args.no_fused  # fused Pallas overlap-save is the default
+    fn = jax.jit(lambda v: overlap_save(v, h, 1024, fused=fused))
     out, dt = timed(fn, x) if args.bench else (fn(x), None)
     out = np.asarray(out)
 

@@ -22,9 +22,11 @@ def main():
     x = load_or_make(args, channels=2, rate=RATE_IN, kind="am")
     h_bp = design_fir(256, (0.1, 0.5), window_kind="hamming", pass_zero=False)
 
+    fused = not args.no_fused  # Pallas phase-matrix resample + MAC FIR
+
     def chain(v):
-        y = resample_poly(v, 160, 147)
-        return fir_direct(y, h_bp)
+        y = resample_poly(v, 160, 147, fused=fused)
+        return fir_direct(y, h_bp, fused=fused)
 
     fn = jax.jit(chain)
     out, dt = timed(fn, x) if args.bench else (fn(x), None)

@@ -26,12 +26,13 @@ def main():
 
     ndev = len(jax.devices())
     ch = min(8, ndev)
+    fused = not args.no_fused  # fused Pallas gate kernel is the default
     if ch > 1:
         mesh = make_mesh(channel=ch, time=1)
-        fn = sharded_noise_gate(mesh)
+        fn = sharded_noise_gate(mesh, fused=fused)
         xs = shard_audio(x, mesh)
     else:  # single chip: same math, unsharded
-        g = Chain([GateStage()])
+        g = Chain([GateStage(fused=fused)])
         g.build()
         fn = jax.jit(g.full)
         xs = x

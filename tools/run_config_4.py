@@ -47,12 +47,13 @@ def main():
     blk = (x.shape[-1] // (tm * 256)) * (tm * 256)
     x = x[:, :blk]
 
+    fused = not args.no_fused  # fused Pallas overlap-save is the default
     if ndev > 1:
         mesh = make_mesh(channel=ch, time=tm)
-        fn = sharded_overlap_save(mesh, h, NFFT)
+        fn = sharded_overlap_save(mesh, h, NFFT, fused=fused)
         xs = shard_audio(x, mesh)
     else:
-        fn = jax.jit(lambda v: overlap_save(v, h, NFFT))
+        fn = jax.jit(lambda v: overlap_save(v, h, NFFT, fused=fused))
         xs = x
 
     out, dt = timed(fn, xs) if args.bench else (fn(xs), None)

@@ -25,27 +25,132 @@ CHANNELS = 128
 BLOCK = 147 * 64  # input block: divisible by down=147; output block 10240
 
 
-def build_chain() -> Chain:
+def build_chain(fused: bool = True) -> Chain:
     return Chain([
-        ResampleStage(up=160, down=147),
-        FIRStage(h=oracle.design_fir(64, 0.3), nfft=1024),
-        GateStage(nfft=1024, hop=256, noise_frames=8),
-        EnvelopeStage(oracle.design_fir(129, 0.01)),
+        ResampleStage(up=160, down=147, fused=fused),
+        FIRStage(h=oracle.design_fir(64, 0.3), nfft=1024, fused=fused),
+        GateStage(nfft=1024, hop=256, noise_frames=8, fused=fused),
+        EnvelopeStage(oracle.design_fir(129, 0.01), fused=fused),
     ])
+
+
+def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
+             ckpt=None, logger=None):
+    """Ring-buffer streaming: a native decode thread (asp_io.c WavReader)
+    feeds the SPSC ring while the device runs the jitted chain step —
+    host decode overlaps device compute (BASELINE.json:11).  ``resume``
+    restarts from a saved carry checkpoint; ``ckpt=(path, at_block)``
+    saves one mid-stream.  Returns (output, blocks_processed)."""
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.io.wav_native import RingBuffer, WavReader
+    from audiosignalprocess_tpu.utils.checkpoint import load_carry, save_carry
+
+    reader = WavReader(wav_path)
+    assert reader.channels == channels, (reader.channels, channels)
+    total = reader.num_frames // block
+    if nblocks is None or nblocks > total:
+        nblocks = total
+    ring = RingBuffer(channels, block * 8)
+    states = chain.init_state((channels,), block, jnp.float32)
+    start_block = 0
+    if resume:
+        states, start_block = load_carry(resume, states)
+
+    def producer():
+        for _ in range(start_block):  # restart-from-block: skip processed
+            reader.read_block(block)
+        for _ in range(start_block, nblocks):
+            blk = reader.read_block(block)
+            off = 0
+            while off < blk.shape[1]:
+                pushed = ring.push(blk[:, off:])
+                off += pushed
+                if pushed == 0:
+                    _time.sleep(0.0002)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    step = jax.jit(chain.step)
+    outs = []
+    for bi in range(start_block, nblocks):
+        while ring.readable < block:
+            _time.sleep(0.0002)
+        blk, _ = ring.pop(block)
+        t0 = _time.perf_counter()
+        states, y = step(states, jnp.asarray(blk))
+        y = np.asarray(y)
+        outs.append(y)
+        if logger is not None:
+            logger.tick(int(blk.size), block_index=bi,
+                        step_ms=round(1e3 * (_time.perf_counter() - t0), 3),
+                        ring_fill=int(ring.readable))
+        if ckpt is not None and bi + 1 == ckpt[1]:
+            save_carry(ckpt[0], states, bi + 1)
+    th.join()
+    reader.close()
+    return np.concatenate(outs, axis=-1), nblocks - start_block
 
 
 def main():
     p = std_parser(__doc__)
-    p.add_argument("--mode", choices=("stream", "sharded"), default="stream")
+    p.add_argument("--mode", choices=("stream", "sharded", "ring"),
+                   default="stream")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--demo-restart", action="store_true",
+                   help="ring mode: checkpoint mid-stream, restart from the "
+                        "saved block, verify the resumed tail matches")
     args = p.parse_args()
     initialize(args.coordinator, args.num_processes, args.process_id)
 
     x = load_or_make(args, channels=CHANNELS, rate=RATE_IN)
-    chain = build_chain()
+    chain = build_chain(fused=not args.no_fused)
     lat = chain.build()
+
+    if args.mode == "ring":
+        import tempfile
+
+        from audiosignalprocess_tpu.utils.profiling import BlockLogger
+
+        wav_path = args.input
+        if wav_path is None:
+            wav_path = os.path.join(tempfile.gettempdir(),
+                                    f"asp_gen_{CHANNELS}ch_{RATE_IN}.wav")
+        logger = BlockLogger() if args.json or args.bench else None
+        t0 = __import__("time").perf_counter()
+        out, nb = run_ring(chain, wav_path, BLOCK, CHANNELS, logger=logger)
+        dt = (__import__("time").perf_counter() - t0)
+        n = nb * BLOCK
+        x_host = np.asarray(x[:, :n], dtype=np.float32)
+        snr = None
+        if args.check:
+            ref = np.asarray(jax.jit(lambda v: chain.stream(v, BLOCK))(
+                jax.numpy.asarray(x_host)))
+            exact = np.array_equal(ref, out)
+            snr = np.inf if exact else snr_db(
+                ref.astype(np.float64) + 1e-30, out.astype(np.float64) + 1e-30)
+            assert exact or snr >= 100.0, f"ring != stream: {snr:.1f} dB"
+        if args.demo_restart:
+            import tempfile as _tf
+
+            ck = os.path.join(_tf.gettempdir(), "asp_cfg5_carry.npz")
+            half = max(1, (x.shape[-1] // BLOCK) // 2)
+            out_a, _ = run_ring(chain, wav_path, BLOCK, CHANNELS,
+                                ckpt=(ck, half))
+            out_b, _ = run_ring(chain, wav_path, BLOCK, CHANNELS, resume=ck)
+            tail = out_a[..., half * chain.out_block(BLOCK):]
+            assert np.array_equal(tail, out_b), "restart-from-block mismatch"
+            print(f"  restart-from-block verified: resumed at block {half}, "
+                  f"{out_b.shape[-1]} samples identical")
+        maybe_write(args, out, RATE_OUT)
+        report(f"config5_streaming_{CHANNELS}ch_ring", x_host, out,
+               dt / max(nb, 1), snr, args)
+        return
 
     if args.mode == "stream":
         n = (x.shape[-1] // BLOCK) * BLOCK

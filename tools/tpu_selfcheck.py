@@ -39,6 +39,14 @@ def main():
     results["fft_fourstep"] = round(
         10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(err**2)), 1)
 
+    from audiosignalprocess_tpu.kernels.fft_kernel import fft_radix2_lanes
+
+    br, bi = jax.jit(lambda a, b: fft_radix2_lanes(a, b, -1.0))(xr_, xi_)
+    bc = np.asarray(br) + 1j * np.asarray(bi)
+    errb = np.abs(rc - bc)
+    results["fft_radix2_lanes"] = round(
+        10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(errb**2)), 1)
+
     x = rng.standard_normal((4, 48000)).astype(np.float32)
     out = np.asarray(jax.jit(lambda v: overlap_save_fused(v, h, 1024))(x))
     ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h) for i in range(4)])
