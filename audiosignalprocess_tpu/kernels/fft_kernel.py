@@ -586,6 +586,83 @@ def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 
 
 # ---------------------------------------------------------------------------
+# Stockham autosort kernel, batch-in-lanes (minimal-traffic butterfly path)
+# ---------------------------------------------------------------------------
+
+
+def _stockham_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
+    """All log2(n) Stockham butterfly stages on one (Lb, n) batch tile.
+
+    Same batch-in-lanes idea as _radix2_lanes_kernel, plus two wins:
+    - Stockham's constant-geometry stages are SELF-SORTING — no
+      bit-reversal permutation exists anywhere (the lanes kernel needs an
+      XLA gather pass for it).
+    - the (batch, n) <-> (n, batch) transposes happen IN-KERNEL (MXU
+      transpose of VMEM tiles), so HBM traffic is exactly one read and
+      one write per plane — the memory-bound speed of light.
+
+    Stage t: A viewed (Lt, R, lanes); u = A[:, :R/2], v = A[:, R/2:]
+    twiddled by w_{2Lt}^l; A' = concat([u+v, u-v]) -> (2Lt, R/2, lanes).
+    """
+    xr = jnp.swapaxes(xr_ref[:], 0, 1)  # (n, Lb)
+    xi = jnp.swapaxes(xi_ref[:], 0, 1)
+    L = xr.shape[-1]
+    stages = n.bit_length() - 1
+    Lt, R = 1, n
+    for _ in range(stages):
+        h = R // 2
+        ar = xr.reshape(Lt, R, L)
+        ai = xi.reshape(Lt, R, L)
+        ur, ui = ar[:, :h], ai[:, :h]
+        vr, vi = ar[:, h:], ai[:, h:]
+        if Lt > 1:
+            l = jax.lax.broadcasted_iota(jnp.int32, (Lt, 1, 1), 0).astype(
+                xr.dtype)
+            ang = (sign * np.pi / Lt) * l
+            wc = jnp.cos(ang)
+            ws = jnp.sin(ang)
+            vr, vi = vr * wc - vi * ws, vr * ws + vi * wc
+        xr = jnp.concatenate([ur + vr, ur - vr], axis=0).reshape(n, L)
+        xi = jnp.concatenate([ui + vi, ui - vi], axis=0).reshape(n, L)
+        Lt, R = 2 * Lt, h
+    or_ref[:] = jnp.swapaxes(xr, 0, 1)
+    oi_ref[:] = jnp.swapaxes(xi, 0, 1)
+
+
+def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
+    """Batched FFT via the self-sorting Stockham butterfly kernel.
+
+    Natural order in and out, no XLA prep passes: the kernel reads the
+    (batch, n) planes directly and transposes to lanes layout in VMEM.
+    """
+    check(xr.ndim == 2 and xr.shape == xi.shape,
+          'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
+    b, n = xr.shape
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
+    check_kernel_dtype(xr.dtype)
+    dt = xr.dtype
+    L = 128
+    bp = -(-b // L) * L
+    if bp != b:
+        pad = ((0, bp - b), (0, 0))
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    grid = (bp // L,)
+    bs = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_stockham_kernel, n, -1.0 if sign < 0 else 1.0),
+        grid=grid,
+        in_specs=[bs, bs],
+        out_specs=(bs, bs),
+        out_shape=(jax.ShapeDtypeStruct((bp, n), dt),
+                   jax.ShapeDtypeStruct((bp, n), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xr, xi)
+    return yr[:b], yi[:b]
+
+
+# ---------------------------------------------------------------------------
 # complex-array adapter (plugs into ops.fft._IMPLS)
 # ---------------------------------------------------------------------------
 

@@ -223,12 +223,21 @@ def _fft_pallas_r2_stages(x, sign):
     return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_radix2_stages)
 
 
+def _fft_pallas_sk(x, sign):
+    # self-sorting Stockham butterflies, in-kernel transposes: one HBM
+    # read + one write per plane (the memory-bound speed of light)
+    from audiosignalprocess_tpu.kernels import fft_kernel
+
+    return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_stockham_lanes)
+
+
 _IMPLS = {
     "radix2": _fft_radix2,
     "splitradix": _fft_splitradix,
     "matmul": _fft_matmul,
-    "pallas": _fft_pallas,        # four-step MXU Pallas kernel (perf path)
+    "pallas": _fft_pallas,        # four-step MXU Pallas kernel
     "pallas_r2": _fft_pallas_r2,  # TPU-compiled butterfly kernel (lanes)
+    "pallas_sk": _fft_pallas_sk,  # Stockham butterflies (perf path)
     "pallas_r2_stages": _fft_pallas_r2_stages,  # interpret-only structural
 }
 

@@ -78,29 +78,37 @@ def bench_mesh(ndev: int, channels: int, per_shard: int, iters: int = 8):
 def main():
     import jax
 
+    from audiosignalprocess_tpu.parallel.launch import initialize
+
+    initialize()  # honors ASP_FORCE_PLATFORM=cpu for simulated sweeps
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--channels", type=int, default=16)
     p.add_argument("--per-shard", type=int, default=147 * 64)
     p.add_argument("--json", action="store_true")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--sizes", default=None,
+                   help="comma list of device counts (default: powers of 2)")
     args = p.parse_args()
 
     ndev_all = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",") if int(s) <= ndev_all]
+    else:
+        sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
     base = None
-    rows = []
-    for nd in sizes:
-        sps = bench_mesh(nd, args.channels, args.per_shard)
+    for nd in sizes:  # stream each row (slow relayed compiles)
+        sps = bench_mesh(nd, args.channels, args.per_shard, args.iters)
         if base is None:
             base = sps
         eff = sps / (base * nd)
-        rows.append(dict(devices=nd, samples_per_s=round(sps, 1),
-                         scaling_eff=round(eff, 3)))
-    for r in rows:
+        r = dict(devices=nd, samples_per_s=round(sps, 1),
+                 scaling_eff=round(eff, 3))
         if args.json:
-            print(json.dumps(r))
+            print(json.dumps(r), flush=True)
         else:
             print(f"devices={r['devices']:>3}  {r['samples_per_s']/1e6:10.2f} M samples/s"
-                  f"  eff={100*r['scaling_eff']:.1f}%")
+                  f"  eff={100*r['scaling_eff']:.1f}%", flush=True)
 
 
 if __name__ == "__main__":
