@@ -45,6 +45,56 @@ from audiosignalprocess_tpu.utils.validate import check
 
 
 
+def fir_gate_rows(cfg, w3, j, floor_b, wv, inv_norm_blk,
+                  c1, s1, c2, s2, tbc, tbs, hgr, hgi, spill, rel):
+    """Shared fused FIR+gate body: (tb, wrows, n2) raw rows (prefix-
+    aligned: rows [j*span_r - e0r ...]) -> (tb, span_r, n2) gated output
+    rows.  Writes the OLA ``spill`` and release ``rel`` VMEM carries.
+    Used by the FIR+gate chain kernel and the resample+FIR+gate kernel.
+    """
+    (n1, n2, br, e0r, nb_os, hr, nr, dr, mf,
+     thresh_gain, att, nframes, release) = cfg
+    # ---- FIR: overlap-save over nb_os blocks at row hop br
+    blocks = jnp.stack([w3[:, k * br : k * br + n1, :] for k in range(nb_os)],
+                       axis=1)
+    sr, si = fourstep_grid_fwd(blocks, None, n1, n2,
+                               c1, s1, c2, s2, tbc, tbs)
+    pr = sr * hgr - si * hgi
+    pi_ = sr * hgi + si * hgr
+    fil4 = fourstep_grid_inv_real(pr, pi_, n1, n2,
+                                  c1, s1, c2, s2, tbc, tbs)
+    # valid filtered rows per block: [e0r, e0r+br) -> contiguous row stream
+    filtered = jnp.concatenate(
+        [fil4[:, k, e0r : e0r + br, :] for k in range(nb_os)], axis=1
+    )  # (tb, nb_os*br, n2) == filtered rows [j*span_r, ...)
+    # ---- gate: frame, window, FFT, mask, inverse, window
+    frames = jnp.stack(
+        [filtered[:, q * hr : q * hr + nr, :] for q in range(mf)], axis=1
+    )
+    gr, gi = fourstep_grid_fwd(frames * wv, None, n1, n2,
+                               c1, s1, c2, s2, tbc, tbs)
+    mag = jnp.sqrt(gr * gr + gi * gi)
+    floor = floor_b[:, None, :, :]
+    mask = jnp.where(mag > floor * thresh_gain, 1.0, att).astype(gr.dtype)
+    if release > 0.0:
+        # max-with-decay release smoothing s_q = max(mask_q, r*s_{q-1})
+        # across ALL frames (same carry trick as gate_kernel: grid steps
+        # run sequentially, the state rides VMEM scratch)
+        state = rel[:]
+        rows = []
+        for q in range(mf):
+            state = jnp.maximum(mask[:, q], release * state)
+            rows.append(state)
+        rel[:] = state
+        mask = jnp.stack(rows, axis=1)
+    y = fourstep_grid_inv_real(gr * mask, gi * mask, n1, n2,
+                               c1, s1, c2, s2, tbc, tbs) * wv
+    fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
+    y = y * (fidx < nframes).astype(y.dtype)
+    # ---- OLA + spill carry (shared with the gate kernel)
+    return ola_rows(y, spill, mf, hr, dr, n2) * inv_norm_blk
+
+
 def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
                   c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                   o_ref, win, spill, rel, sem):
@@ -79,46 +129,11 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
 
     fetch(slot, j).wait()
     w3 = win[slot]  # (tb, wrows, n2) raw rows (prefix-aligned)
-    # ---- FIR: overlap-save over nb_os blocks at row hop br
-    blocks = jnp.stack([w3[:, k * br : k * br + n1, :] for k in range(nb_os)],
-                       axis=1)
-    sr, si = fourstep_grid_fwd(blocks, None, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
-    pr = sr * hgr[:] - si * hgi[:]
-    pi_ = sr * hgi[:] + si * hgr[:]
-    fil4 = fourstep_grid_inv_real(pr, pi_, n1, n2,
-                                  c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
-    # valid filtered rows per block: [e0r, e0r+br) -> contiguous row stream
-    filtered = jnp.concatenate(
-        [fil4[:, k, e0r : e0r + br, :] for k in range(nb_os)], axis=1
-    )  # (tb, nb_os*br, n2) == filtered rows [j*span_r, ...)
-    # ---- gate: frame, window, FFT, mask, inverse, window
-    wv = wgrid[:]
-    frames = jnp.stack(
-        [filtered[:, q * hr : q * hr + nr, :] for q in range(mf)], axis=1
-    )
-    gr, gi = fourstep_grid_fwd(frames * wv, None, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
-    mag = jnp.sqrt(gr * gr + gi * gi)
-    floor = floor_ref[:][:, None, :, :]
-    mask = jnp.where(mag > floor * thresh_gain, 1.0, att).astype(gr.dtype)
-    if release > 0.0:
-        # max-with-decay release smoothing s_q = max(mask_q, r*s_{q-1})
-        # across ALL frames (same carry trick as gate_kernel: grid steps
-        # run sequentially, the state rides VMEM scratch)
-        state = rel[:]
-        rows = []
-        for q in range(mf):
-            state = jnp.maximum(mask[:, q], release * state)
-            rows.append(state)
-        rel[:] = state
-        mask = jnp.stack(rows, axis=1)
-    y = fourstep_grid_inv_real(gr * mask, gi * mask, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
-    fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
-    y = y * (fidx < nframes).astype(y.dtype)
-    # ---- OLA + spill carry + normalization (shared with the gate kernel)
-    o_ref[:] = ola_rows(y, spill, mf, hr, dr, n2) * inv_norm[0]
+    body_cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf,
+                thresh_gain, att, nframes, release)
+    o_ref[:] = fir_gate_rows(body_cfg, w3, j, floor_ref[:], wgrid[:],
+                             inv_norm[0], c1[:], s1[:], c2[:], s2[:],
+                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel)
 
 
 def fir_noise_gate_fused(

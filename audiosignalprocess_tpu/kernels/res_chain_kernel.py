@@ -1,0 +1,309 @@
+"""Fully-fused resample + FIR + spectral-gate chain kernel (config-5 hot
+path, BASELINE.json:11; VERDICT round-1 item 5).
+
+One Pallas kernel runs the whole 44.1->48 kHz front half of the flagship
+chain: polyphase rational resample (phase-matrix MXU matmuls), overlap-
+save FIR, STFT noise gate with OLA spill carry.  Raw audio is read from
+HBM once (as the ~1.3x-overlapped resampler window array V5) and the
+gated signal written once — vs the two-kernel pipeline's extra round
+trip of the resampled/filtered signal.
+
+Layout: everything stays in the row space / grid layout of
+docs/KERNELS.md.  The resampler emits 128-sample ROWS directly: over a
+SUPERCYCLE of lcm(up, 128) outputs (R5 rows, C5 polyphase cycles,
+D5 = C5*down inputs) the phase pattern repeats, so R5 static per-row
+phase matrices M5[q] (W5, 128) turn one DMA'd input window into R5 row
+tensors via MXU dots — no lane reshape anywhere (a (cycles, up) product
+would need the banned 160->128 minor reshape).  The FIR+gate body is
+shared with chain_kernel.fir_gate_rows.
+
+Conventions == oracle.noise_gate(oracle.fir_direct(oracle.resample_poly
+(x, up, down), h_fir)); output length nfft + (F-1)*hop for the frames of
+the resampled length.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_rows
+from audiosignalprocess_tpu.kernels.fft_kernel import (
+    _interpret,
+    _split_n,
+    _tab,
+    _use_bf16x3,
+    check_kernel_dtype,
+    grid_table_arrays,
+)
+from audiosignalprocess_tpu.kernels.gate_kernel import floor_grid, inv_norm_rows
+from audiosignalprocess_tpu.kernels.resample_kernel import _phase_matrix
+from audiosignalprocess_tpu.ops import fft as fft_ops
+from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+from audiosignalprocess_tpu.ops.resample import resample_poly
+from audiosignalprocess_tpu.ops.stft import frame as frame_op
+from audiosignalprocess_tpu.utils.validate import check
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // gcd(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _row_phase_matrices(h_key, up: int, down: int, n2: int):
+    """Per-row supercycle phase matrices: M5 (R5, W5, n2) float64 with
+    y[lcm*t5 + n2*q + l] = sum_i M5[q, i, l] * x[D5*t5 + base + i]."""
+    m_np, base, r = _phase_matrix(h_key, up, down, 0)
+    w = m_np.shape[1]
+    lcm = _lcm(up, n2)
+    r5 = lcm // n2
+    c5 = lcm // up
+    d5 = c5 * down
+    w5 = down * (c5 - 1) + w
+    m5 = np.zeros((r5, w5, n2))
+    for q in range(r5):
+        for l in range(n2):
+            o = q * n2 + l
+            tc, s = o // up, o % up
+            m5[q, down * tc : down * tc + w, l] = m_np[s]
+    return m5, base, w5
+
+
+def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
+                      c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
+                      o_ref, vwin, spill, rel, sem):
+    (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p,
+     rows_lo_mask, rows_hi_mask, thresh_gain, att, nframes, release) = cfg
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tb = o_ref.shape[0]
+    span_r = mf * hr
+    wrows = (nb_os - 1) * br + n1
+
+    def fetch(slot, jj):
+        return pltpu.make_async_copy(
+            v_hbm.at[pl.ds(i * tb, tb), pl.ds(jj * s5, k5), :],
+            vwin.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        fetch(0, 0).start()
+        spill[:] = jnp.zeros_like(spill)
+        if release > 0.0:
+            rel[:] = jnp.zeros_like(rel)
+
+    slot = j % 2
+
+    @pl.when(j + 1 < nt)
+    def _():
+        fetch((j + 1) % 2, j + 1).start()
+
+    fetch(slot, j).wait()
+    v = vwin[slot]  # (tb, k5, w5p) resampler input windows
+    dn = (((2,), (0,)), ((), ()))
+    acc = o_ref.dtype
+    if m5.dtype == jnp.bfloat16:
+        # 3-pass bf16 emulation (see fft_kernel): m5 is (2, r5, w5p, n2)
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(v.dtype)).astype(jnp.bfloat16)
+
+        def mm(q):
+            d = lambda p, t: jax.lax.dot_general(
+                p, t, dimension_numbers=dn, preferred_element_type=acc)
+            return d(vh, m5[0, q]) + d(vh, m5[1, q]) + d(vl, m5[0, q])
+    else:
+        def mm(q):
+            return jax.lax.dot_general(
+                v, m5[q], dimension_numbers=dn, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST)
+
+    rows4 = jnp.stack([mm(q) for q in range(r5)], axis=2)  # (tb, k5, r5, n2)
+    rows = rows4.reshape(tb, k5 * r5, n2)
+    # zero the FIR-history prefix rows and the past-the-end rows: the
+    # resampler's warm-up/warm-down spill there must read as exact zeros
+    # (the unfused chain pads the filtered stream with zeros)
+    glob = j * span_r + jax.lax.broadcasted_iota(jnp.int32, (1, k5 * r5, 1), 1)
+    keep = jnp.logical_and(glob >= rows_lo_mask, glob < rows_hi_mask)
+    rows = rows * keep.astype(rows.dtype)
+    w3 = rows[:, :wrows, :]
+    body_cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf,
+                thresh_gain, att, nframes, release)
+    o_ref[:] = fir_gate_rows(body_cfg, w3, j, floor_ref[:], wgrid[:],
+                             inv_norm[0], c1[:], s1[:], c2[:], s2[:],
+                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel)
+
+
+def resample_fir_gate_fused(
+    x: jnp.ndarray,
+    up: int,
+    down: int,
+    h_fir,
+    h_res=None,
+    nfft: int = 1024,
+    hop: int = 256,
+    threshold_db: float = 6.0,
+    reduction_db: float = 60.0,
+    noise_frames: int = 8,
+    release: float = 0.0,
+    window_kind: str = "hann",
+    frames_per_step: int = 20,
+    batch_tile: int = 8,
+) -> jnp.ndarray:
+    """resample(up/down) -> overlap-save FIR -> spectral gate, ONE kernel.
+
+    == oracle.noise_gate(oracle.fir_direct(oracle.resample_poly(x, up,
+    down), h_fir), ...); output length = nfft + (F-1)*hop with F the
+    frame count of the resampled length ceil(n*up/down).
+    """
+    g = gcd(up, down)
+    up, down = up // g, down // g
+    x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
+    if h_res is None:
+        h_res = oracle.resample_filter(up, down)
+    h_res = np.asarray(h_res, dtype=np.float64)
+    h = np.asarray(h_fir, dtype=np.float64)
+    t = len(h)
+    check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1,
+          "nfft must be a hop-aligned power of two exceeding the FIR taps")
+    n1, n2 = _split_n(nfft)
+    check(hop % n2 == 0, f"hop {hop} not a multiple of row width {n2}")
+    hr, nr, dr = hop // n2, nfft // n2, (nfft - hop) // n2
+
+    lcm = _lcm(up, n2)
+    r5 = lcm // n2
+    c5 = lcm // up
+    d5 = c5 * down
+
+    # OS emission offset: whole supercycles so the zero prefix is exact
+    e0 = -(-(t - 1) // lcm) * lcm
+    check(e0 <= nfft - n2, f"{t} taps need e0={e0} > nfft-{n2}: raise nfft")
+    b = ((nfft - e0) // n2) * n2
+    br, e0r = b // n2, e0 // n2
+
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    xf = x.reshape((-1, n))
+    bs = xf.shape[0]
+    dt = x.dtype
+    d = nfft - hop
+    n_out = -(-n * up // down)
+    check(n_out % n2 == 0,
+          f"resampled length {n_out} not row-aligned: pad the input so "
+          f"ceil(n*up/down) is a multiple of {n2}")
+    nframes = 1 + (n_out - nfft) // hop
+    out_len = nfft + (nframes - 1) * hop
+    check(nframes * hop >= 2 * d, "signal too short")
+
+    # frames per step: span_r = mf*hr must be a multiple of R5 (supercycle
+    # row alignment) and of 8 (Mosaic sublane rule)
+    mf = int(frames_per_step)
+    while (mf * hr) % r5 or (mf * hr) % 8:
+        mf += 1
+    span_r = mf * hr
+    nt = -(-(nframes + nfft // hop - 1) // mf)
+    total_f = nt * mf
+    s5 = span_r // r5
+
+    nb_os = -(-(span_r + dr) // br)
+    wrows = (nb_os - 1) * br + n1
+    k5 = -(-wrows // r5) + 1  # +1: wrows not R5-aligned -> one spare
+
+    # ---- XLA prologue: noise floor of the resampled+filtered head
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    pro_in = min(n, ((d + noise_frames * hop + 2 * nfft) * down) // up + d5)
+    pro_res = resample_poly(xf[:, :pro_in], up, down, h=h_res,
+                            zero_phase=False)
+    pro_fil = overlap_save(pro_res, h, nfft, impl="matmul")
+    prof = frame_op(pro_fil[:, : d + noise_frames * hop], nfft, hop) * \
+        jnp.asarray(wv_np, dt)
+    floor = floor_grid(prof, n1, n2, dt)
+
+    # ---- V5 window array build (XLA): prefix supercycles for the e0
+    # zeros, left pad for the phase-matrix base, right pad for the tail
+    m5_np, base, w5 = _row_phase_matrices(tuple(h_res.tolist()), up, down, n2)
+    w5p = -(-w5 // 128) * 128
+    p5 = e0 // lcm  # zero prefix supercycles
+    t5_total = (nt - 1) * s5 + k5
+    lpad = max(0, -base)
+    shift = base + lpad
+    need = shift + (t5_total - 1) * d5 + w5p
+    xp = jnp.concatenate([
+        jnp.zeros((bs, p5 * d5 + lpad), dt), xf,
+        jnp.zeros((bs, max(0, need - (p5 * d5 + lpad + n))), dt),
+    ], axis=-1)
+    if shift:
+        xp = xp[:, shift:]
+    tb = int(min(batch_tile, bs))
+    bp = -(-bs // tb) * tb
+    if bp != bs:
+        xp = jnp.pad(xp, ((0, bp - bs), (0, 0)))
+        floor = jnp.pad(floor, ((0, bp - bs), (0, 0), (0, 0)))
+    r5win = -(-w5p // d5) + 1
+    nrows5 = t5_total + r5win
+    if xp.shape[-1] < nrows5 * d5:
+        xp = jnp.pad(xp, ((0, 0), (0, nrows5 * d5 - xp.shape[-1])))
+    x5 = xp[:, : nrows5 * d5].reshape(bp, nrows5, d5)
+    v5 = jnp.concatenate([x5[:, q : q + t5_total, :] for q in range(r5win)],
+                         axis=-1)[..., :w5p]
+
+    # ---- tables
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
+    hg = hf.reshape(n2, n1).T
+    inv_norm = jnp.asarray(
+        inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
+    ).reshape(1, total_f * hr, n2)
+    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
+    tabs = grid_table_arrays(nfft, dt) + [
+        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    if _use_bf16x3(dt):
+        m5s = np.stack([np.asarray(_tab(m5_np[q], dt)) for q in range(r5)],
+                       axis=1)  # (2, r5, w5, n2)
+        m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
+        m5 = jnp.asarray(m5s, jnp.bfloat16)
+    else:
+        m5 = jnp.asarray(np.pad(m5_np, ((0, 0), (0, w5p - w5), (0, 0))), dt)
+    thresh_gain = float(10.0 ** (threshold_db / 20.0))
+    att = float(10.0 ** (-reduction_db / 20.0))
+
+    rows_lo_mask = e0r
+    rows_hi_mask = e0r + n_out // n2
+    cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p,
+           rows_lo_mask, rows_hi_mask, thresh_gain, att, nframes,
+           float(release))
+    bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, j: (0,) * a.ndim),
+                                  memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_res_chain_kernel, cfg),
+        grid=(bp // tb, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec((tb, n1, n2), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  bs_c(wgrid),
+                  pl.BlockSpec((1, span_r, n2), lambda i, j: (0, j, 0),
+                               memory_space=pltpu.VMEM)]
+        + [bs_c(t_) for t_ in tabs] + [bs_c(m5)],
+        out_specs=pl.BlockSpec((tb, span_r, n2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, total_f * hr, n2), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, k5, w5p), dt),
+            pltpu.VMEM((tb, dr, n2), dt),
+            pltpu.VMEM((tb, n1, n2), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(v5, floor, wgrid, inv_norm, *tabs, m5)
+    out = y.reshape(bp, total_f * hop)[:bs, :out_len]
+    return out.reshape(batch + (out_len,))

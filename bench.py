@@ -45,7 +45,13 @@ def bench_fir_stft_chain(
     from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 
     n = int(seconds * fs)
-    n = (n // 256) * 256  # hop-aligned
+    if str(fused).startswith("res"):
+        # 44.1->48k front half: input sized so the resampled length is
+        # row-aligned (n multiple of 147*4 -> out multiple of 640)
+        fs = 44100
+        n = (int(seconds * fs) // 588) * 588
+    else:
+        n = (n // 256) * 256  # hop-aligned
     h = oracle.design_fir(64, 0.3)
 
     if fused == "chain":  # ONE fully-fused Pallas kernel (speed of light)
@@ -53,6 +59,23 @@ def bench_fir_stft_chain(
 
         def chain(v):
             return fir_noise_gate_fused(v, h, 1024, 256, noise_frames=8)
+    elif fused == "res_chain":
+        # config-5 front half in ONE kernel: resample+FIR+gate fused
+        from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+            resample_fir_gate_fused,
+        )
+
+        def chain(v):
+            return resample_fir_gate_fused(v, 160, 147, h, noise_frames=8)
+    elif fused == "res_two":
+        # the same chain as two kernels (resample, then FIR+gate): the
+        # comparison point for the fused win
+        from audiosignalprocess_tpu.kernels.chain_kernel import fir_noise_gate_fused
+        from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
+
+        def chain(v):
+            y = resample_mac(v, 160, 147, zero_phase=False)
+            return fir_noise_gate_fused(y, h, 1024, 256, noise_frames=8)
     elif fused:  # two fused Pallas kernels
         def chain(v):
             y = overlap_save_fused(v, h, 1024)
@@ -68,6 +91,7 @@ def bench_fir_stft_chain(
             y = chain(carry)
             # tiny data dependency: forces sequential execution, changes
             # the signal by ~1e-7 relative — irrelevant to timing
+            y = y[..., : carry.shape[-1]]
             pad = carry.shape[-1] - y.shape[-1]
             yp = jnp.pad(y, ((0, 0), (0, pad))) if pad else y
             return carry + 1e-12 * yp
@@ -94,9 +118,17 @@ def bench_fir_stft_chain(
 
 
 def main():
-    samples_per_s = bench_fir_stft_chain()
+    import sys
+
+    # optional mode arg: chain (default/driver metric), res_chain,
+    # res_two, True (two kernels), False (XLA)
+    mode = sys.argv[1] if len(sys.argv) > 1 else "chain"
+    samples_per_s = bench_fir_stft_chain(fused=mode)
+    name = "samples_per_s_per_chip_48k_fir_stft_chain"
+    if mode != "chain":
+        name += f"_{mode}"
     print(json.dumps({
-        "metric": "samples_per_s_per_chip_48k_fir_stft_chain",
+        "metric": name,
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_s / 48000.0, 2),

@@ -80,6 +80,30 @@ def main():
     ])
     results["fir_noise_gate_fused"] = round(oracle.snr_db(rc2, oc2), 1)
 
+    from audiosignalprocess_tpu.kernels.fft_kernel import fft_stockham_lanes
+    from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+        resample_fir_gate_fused,
+    )
+
+    sr_, si_ = jax.jit(lambda a, b: fft_stockham_lanes(a, b, -1.0))(xr_, xi_)
+    sc = np.asarray(sr_) + 1j * np.asarray(si_)
+    errs = np.abs(rc - sc)
+    results["fft_stockham_lanes"] = round(
+        10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(errs**2)), 1)
+
+    xr5 = 0.01 * rng.standard_normal((2, 147 * 160 * 2)).astype(np.float32)
+    xr5[:, 8000:30000] += np.sin(
+        2 * np.pi * 440 * np.arange(22000) / 44100).astype(np.float32)
+    o5 = np.asarray(jax.jit(
+        lambda v: resample_fir_gate_fused(v, 160, 147, h, noise_frames=4))(xr5))
+    r5 = np.stack([
+        oracle.noise_gate(oracle.fir_direct(
+            oracle.resample_poly(xr5[i].astype(np.float64), 160, 147,
+                                 zero_phase=False), h), noise_frames=4)
+        for i in range(2)
+    ])
+    results["resample_fir_gate_fused"] = round(oracle.snr_db(r5, o5), 1)
+
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
     print(json.dumps(results))
