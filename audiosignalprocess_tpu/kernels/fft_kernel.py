@@ -105,14 +105,20 @@ def _use_bf16x3(dt) -> bool:
     return jnp.dtype(dt) == jnp.float32 and not _interpret()
 
 
+def split_bf16_np(t: np.ndarray) -> np.ndarray:
+    """Stacked (2, ...) bf16 hi/lo split of a float64 table, pure numpy
+    (usable under jit tracing, unlike a jnp round trip)."""
+    hi = np.asarray(t, np.float32).astype(jnp.bfloat16)
+    lo = (np.asarray(t, np.float64) - np.asarray(hi, np.float64)).astype(
+        np.float32).astype(jnp.bfloat16)
+    return np.stack([np.asarray(hi), np.asarray(lo)])
+
+
 def _tab(t: np.ndarray, dt):
     """DFT-table kernel input: f32/f64 array, or the stacked (2, ...) bf16
     hi/lo split when the 3-pass emulation is active for this dtype."""
     if _use_bf16x3(dt):
-        hi = np.asarray(t, np.float32).astype(jnp.bfloat16)
-        lo = (np.asarray(t, np.float64) - np.asarray(hi, np.float64)).astype(
-            np.float32).astype(jnp.bfloat16)
-        return jnp.asarray(np.stack([np.asarray(hi), np.asarray(lo)]))
+        return jnp.asarray(split_bf16_np(t))
     return jnp.asarray(t, dt)
 
 

@@ -38,8 +38,8 @@ from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_rows
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _split_n,
-    _tab,
     _use_bf16x3,
+    split_bf16_np,
     check_kernel_dtype,
     grid_table_arrays,
 )
@@ -204,10 +204,11 @@ def resample_fir_gate_fused(
     out_len = nfft + (nframes - 1) * hop
     check(nframes * hop >= 2 * d, "signal too short")
 
-    # frames per step: span_r = mf*hr must be a multiple of R5 (supercycle
-    # row alignment) and of 8 (Mosaic sublane rule)
+    # frames per step: span_r = mf*hr must be a multiple of 8*R5 so both
+    # the output rows (Mosaic sublane rule) and the per-step supercycle
+    # hop s5 = span_r/R5 (HBM slice starts must be 8-aligned) work out
     mf = int(frames_per_step)
-    while (mf * hr) % r5 or (mf * hr) % 8:
+    while (mf * hr) % (8 * r5):
         mf += 1
     span_r = mf * hr
     nt = -(-(nframes + nfft // hop - 1) // mf)
@@ -216,7 +217,10 @@ def resample_fir_gate_fused(
 
     nb_os = -(-(span_r + dr) // br)
     wrows = (nb_os - 1) * br + n1
-    k5 = -(-wrows // r5) + 1  # +1: wrows not R5-aligned -> one spare
+    # +1 spare for non-R5-aligned wrows; Mosaic HBM slices need the
+    # second-to-last dim 8-aligned (slice starts j*s5 are aligned because
+    # span_r % r5 == 0 and s5 = span_r/r5 is a multiple of 8 via mf)
+    k5 = -(-(-(-wrows // r5) + 1) // 8) * 8
 
     # ---- XLA prologue: noise floor of the resampled+filtered head
     wv_np = oracle.window(window_kind, nfft, periodic=True)
@@ -266,7 +270,7 @@ def resample_fir_gate_fused(
     tabs = grid_table_arrays(nfft, dt) + [
         jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
     if _use_bf16x3(dt):
-        m5s = np.stack([np.asarray(_tab(m5_np[q], dt)) for q in range(r5)],
+        m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
                        axis=1)  # (2, r5, w5, n2)
         m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
         m5 = jnp.asarray(m5s, jnp.bfloat16)
