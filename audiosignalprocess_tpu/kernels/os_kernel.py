@@ -129,7 +129,11 @@ def overlap_save_fused(
     xp = jnp.concatenate(
         [pre, hist, xf, jnp.zeros((bsz, max(0, rpad)), dt)], axis=-1
     )
-    tb = int(min(batch_tile, bsz))
+    # VMEM-aware batch tile: the step holds ~10 live (tb, nb, n1, n2)
+    # planes (window scratch x2 + four-step intermediates); cap the tile
+    # so big-nfft configs (16384-pt config 4) fit the 128 MB VMEM
+    vmem_cap = int(48e6 // (10 * nb * nfft * x.dtype.itemsize))
+    tb = int(min(batch_tile, bsz, max(8, vmem_cap)))
     bp = -(-bsz // tb) * tb
     if bp != bsz:
         xp = jnp.pad(xp, ((0, bp - bsz), (0, 0)))
