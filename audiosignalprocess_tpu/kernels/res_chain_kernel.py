@@ -79,7 +79,7 @@ def _row_phase_matrices(h_key, up: int, down: int, n2: int):
 def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
                       c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
                       o_ref, vwin, spill, rel, sem):
-    (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p,
+    (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p, off,
      rows_lo_mask, rows_hi_mask, thresh_gain, att, nframes, release) = cfg
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -130,11 +130,13 @@ def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
     rows = rows4.reshape(tb, k5 * r5, n2)
     # zero the FIR-history prefix rows and the past-the-end rows: the
     # resampler's warm-up/warm-down spill there must read as exact zeros
-    # (the unfused chain pads the filtered stream with zeros)
-    glob = j * span_r + jax.lax.broadcasted_iota(jnp.int32, (1, k5 * r5, 1), 1)
+    # (the unfused chain pads the filtered stream with zeros).  rows[k]
+    # sits at prefixed-stream row j*span_r - off + k.
+    glob = (j * span_r - off) + jax.lax.broadcasted_iota(
+        jnp.int32, (1, k5 * r5, 1), 1)
     keep = jnp.logical_and(glob >= rows_lo_mask, glob < rows_hi_mask)
     rows = rows * keep.astype(rows.dtype)
-    w3 = rows[:, :wrows, :]
+    w3 = rows[:, off : off + wrows, :]
     body_cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf,
                 thresh_gain, att, nframes, release)
     o_ref[:] = fir_gate_rows(body_cfg, w3, j, floor_ref[:], wgrid[:],
@@ -155,8 +157,8 @@ def resample_fir_gate_fused(
     noise_frames: int = 8,
     release: float = 0.0,
     window_kind: str = "hann",
-    frames_per_step: int = 20,
-    batch_tile: int = 8,
+    frames_per_step: int = 32,
+    batch_tile: int = 32,
 ) -> jnp.ndarray:
     """resample(up/down) -> overlap-save FIR -> spectral gate, ONE kernel.
 
@@ -184,8 +186,10 @@ def resample_fir_gate_fused(
     c5 = lcm // up
     d5 = c5 * down
 
-    # OS emission offset: whole supercycles so the zero prefix is exact
-    e0 = -(-(t - 1) // lcm) * lcm
+    # OS emission offset: row-aligned only (the efficient block hop —
+    # supercycle alignment is handled by a constant in-window row offset
+    # `off` plus whole zero supercycles in front of V5)
+    e0 = -(-(t - 1) // n2) * n2
     check(e0 <= nfft - n2, f"{t} taps need e0={e0} > nfft-{n2}: raise nfft")
     b = ((nfft - e0) // n2) * n2
     br, e0r = b // n2, e0 // n2
@@ -217,10 +221,14 @@ def resample_fir_gate_fused(
 
     nb_os = -(-(span_r + dr) // br)
     wrows = (nb_os - 1) * br + n1
-    # +1 spare for non-R5-aligned wrows; Mosaic HBM slices need the
+    # fetched supercycles start at t5_lo(j) = j*s5 - ceil(e0r/R5); the
+    # first generated row sits `off` rows before the rows the step needs
+    # (constant: span_r % R5 == 0).  Mosaic HBM slices need the
     # second-to-last dim 8-aligned (slice starts j*s5 are aligned because
-    # span_r % r5 == 0 and s5 = span_r/r5 is a multiple of 8 via mf)
-    k5 = -(-(-(-wrows // r5) + 1) // 8) * 8
+    # s5 = span_r/r5 is a multiple of 8 via mf).
+    pre5 = -(-e0r // r5)  # zero supercycles in front of V5
+    off = pre5 * r5 - e0r
+    k5 = -(-(-(-(off + wrows) // r5) + 1) // 8) * 8
 
     # ---- XLA prologue: noise floor of the resampled+filtered head
     wv_np = oracle.window(window_kind, nfft, periodic=True)
@@ -236,14 +244,13 @@ def resample_fir_gate_fused(
     # zeros, left pad for the phase-matrix base, right pad for the tail
     m5_np, base, w5 = _row_phase_matrices(tuple(h_res.tolist()), up, down, n2)
     w5p = -(-w5 // 128) * 128
-    p5 = e0 // lcm  # zero prefix supercycles
     t5_total = (nt - 1) * s5 + k5
     lpad = max(0, -base)
     shift = base + lpad
     need = shift + (t5_total - 1) * d5 + w5p
     xp = jnp.concatenate([
-        jnp.zeros((bs, p5 * d5 + lpad), dt), xf,
-        jnp.zeros((bs, max(0, need - (p5 * d5 + lpad + n))), dt),
+        jnp.zeros((bs, pre5 * d5 + lpad), dt), xf,
+        jnp.zeros((bs, max(0, need - (pre5 * d5 + lpad + n))), dt),
     ], axis=-1)
     if shift:
         xp = xp[:, shift:]
@@ -281,7 +288,7 @@ def resample_fir_gate_fused(
 
     rows_lo_mask = e0r
     rows_hi_mask = e0r + n_out // n2
-    cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p,
+    cfg = (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p, off,
            rows_lo_mask, rows_hi_mask, thresh_gain, att, nframes,
            float(release))
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, j: (0,) * a.ndim),
