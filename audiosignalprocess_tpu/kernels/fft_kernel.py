@@ -596,22 +596,15 @@ def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 # ---------------------------------------------------------------------------
 
 
-def _stockham_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
-    """All log2(n) Stockham butterfly stages on one (Lb, n) batch tile.
-
-    Same batch-in-lanes idea as _radix2_lanes_kernel, plus two wins:
-    - Stockham's constant-geometry stages are SELF-SORTING — no
-      bit-reversal permutation exists anywhere (the lanes kernel needs an
-      XLA gather pass for it).
-    - the (batch, n) <-> (n, batch) transposes happen IN-KERNEL (MXU
-      transpose of VMEM tiles), so HBM traffic is exactly one read and
-      one write per plane — the memory-bound speed of light.
+def _stockham_stages(xr, xi, n, sign):
+    """All log2(n) self-sorting Stockham butterfly stages on (n, L)
+    sublane-major planes (transform on sublanes, batch on lanes).
 
     Stage t: A viewed (Lt, R, lanes); u = A[:, :R/2], v = A[:, R/2:]
     twiddled by w_{2Lt}^l; A' = concat([u+v, u-v]) -> (2Lt, R/2, lanes).
-    """
-    xr = jnp.swapaxes(xr_ref[:], 0, 1)  # (n, Lb)
-    xi = jnp.swapaxes(xi_ref[:], 0, 1)
+    Every reshape/slice is on the sublane axis (legal in Mosaic for any
+    split); twiddles come from a sublane iota + cos/sin in-kernel.
+    Shared by the complex kernel and the real-FFT pair below."""
     L = xr.shape[-1]
     stages = n.bit_length() - 1
     Lt, R = 1, n
@@ -631,6 +624,23 @@ def _stockham_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
         xr = jnp.concatenate([ur + vr, ur - vr], axis=0).reshape(n, L)
         xi = jnp.concatenate([ui + vi, ui - vi], axis=0).reshape(n, L)
         Lt, R = 2 * Lt, h
+    return xr, xi
+
+
+def _stockham_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
+    """All log2(n) Stockham butterfly stages on one (Lb, n) batch tile.
+
+    Same batch-in-lanes idea as _radix2_lanes_kernel, plus two wins:
+    - Stockham's constant-geometry stages are SELF-SORTING — no
+      bit-reversal permutation exists anywhere (the lanes kernel needs an
+      XLA gather pass for it).
+    - the (batch, n) <-> (n, batch) transposes happen IN-KERNEL (MXU
+      transpose of VMEM tiles), so HBM traffic is exactly one read and
+      one write per plane — the memory-bound speed of light.
+    """
+    xr = jnp.swapaxes(xr_ref[:], 0, 1)  # (n, Lb)
+    xi = jnp.swapaxes(xi_ref[:], 0, 1)
+    xr, xi = _stockham_stages(xr, xi, n, sign)
     or_ref[:] = jnp.swapaxes(xr, 0, 1)
     oi_ref[:] = jnp.swapaxes(xi, 0, 1)
 
@@ -666,6 +676,141 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
         interpret=_interpret(),
     )(xr, xi)
     return yr[:b], yi[:b]
+
+
+# ---------------------------------------------------------------------------
+# real-FFT Stockham kernels: pack + untangle fused IN-kernel
+# ---------------------------------------------------------------------------
+#
+# ops.fft.rfft/irfft wrap a half-size complex FFT in XLA pack/untangle
+# passes — each an extra HBM read+write around the kernel.  These kernels
+# fuse the even/odd pack, the half-size Stockham FFT, and the untangle
+# into ONE pallas_call: HBM traffic is exactly one read of the real plane
+# and one write of the two half-spectrum planes (and vice versa for the
+# inverse).  All pack/untangle ops land on the SUBLANE axis (the data is
+# transposed in-VMEM first), so the stride-2 deinterleave that Mosaic
+# bans on lanes is a legal sublane reshape here.  Conventions match
+# ops.fft.rfft/irfft (oracle-pinned, SURVEY.md §2 row 5) bit-for-bit in
+# structure: n/2+1 bins out, 1/N inverse scaling.
+
+
+def _rfft_sk_kernel(n, xr_ref, or_ref, oi_ref):
+    half = n // 2
+    xt = jnp.swapaxes(xr_ref[:], 0, 1)        # (n, L) sublane-major
+    v = xt.reshape(half, 2, xt.shape[-1])     # even/odd pack z = x0 + i x1
+    zr, zi = _stockham_stages(v[:, 0], v[:, 1], half, -1.0)
+    # untangle needs zkc[k] = conj(Z[(half-k) mod half]) — a sublane
+    # REVERSAL, and Mosaic has no `rev` lowering.  Use the DFT identity
+    # DFT_plus(z)[k] = Z[(-k) mod half] instead: a second butterfly pass
+    # with sign=+1 yields the reversed spectrum directly (same total
+    # FLOPs as a full-size complex FFT; HBM traffic unchanged).
+    pr, pi = _stockham_stages(v[:, 0], v[:, 1], half, 1.0)
+    zk_r = jnp.concatenate([zr, zr[:1]], axis=0)    # (half+1) rows
+    zk_i = jnp.concatenate([zi, zi[:1]], axis=0)
+    zkc_r = jnp.concatenate([pr, pr[:1]], axis=0)
+    zkc_i = -jnp.concatenate([pi, pi[:1]], axis=0)
+    xe_r = 0.5 * (zk_r + zkc_r)
+    xe_i = 0.5 * (zk_i + zkc_i)
+    dr = zk_r - zkc_r
+    di = zk_i - zkc_i
+    xo_r = 0.5 * di                            # xo = -0.5i (zk - zkc)
+    xo_i = -0.5 * dr
+    k = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0).astype(xt.dtype)
+    ang = (-2.0 * np.pi / n) * k               # w = e^{-2pi i k/n}
+    wc = jnp.cos(ang)
+    ws = jnp.sin(ang)
+    or_ref[:] = jnp.swapaxes(xe_r + wc * xo_r - ws * xo_i, 0, 1)
+    oi_ref[:] = jnp.swapaxes(xe_i + wc * xo_i + ws * xo_r, 0, 1)
+
+
+def rfft_stockham(x: jnp.ndarray):
+    """Batched real FFT, (b, n) real -> ((b, n/2+1), (b, n/2+1)) planar.
+
+    One fused kernel: even/odd pack + n/2 Stockham stages + untangle.
+    n must be a power of two >= 4."""
+    check(x.ndim == 2, 'guard failed: x.ndim == 2')
+    b, n = x.shape
+    check(n & (n - 1) == 0 and n >= 4, "power-of-two n >= 4 required")
+    check_kernel_dtype(x.dtype)
+    dt = x.dtype
+    L = 128
+    bp = -(-b // L) * L
+    if bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, 0)))
+    grid = (bp // L,)
+    bs_in = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bs_out = pl.BlockSpec((L, n // 2 + 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_rfft_sk_kernel, n),
+        grid=grid,
+        in_specs=[bs_in],
+        out_specs=(bs_out, bs_out),
+        out_shape=(jax.ShapeDtypeStruct((bp, n // 2 + 1), dt),
+                   jax.ShapeDtypeStruct((bp, n // 2 + 1), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x)
+    return yr[:b], yi[:b]
+
+
+def _irfft_sk_kernel(n, sr_ref, si_ref, fr_ref, fi_ref, o_ref):
+    half = n // 2
+    zk_r = jnp.swapaxes(sr_ref[:], 0, 1)      # (half+1, L)
+    zk_i = jnp.swapaxes(si_ref[:], 0, 1)
+    # Mosaic has no `rev` lowering; the conj-reversed spectrum arrives as
+    # two extra pre-flipped input planes (XLA fuses the flip upstream)
+    zkc_r = jnp.swapaxes(fr_ref[:], 0, 1)
+    zkc_i = -jnp.swapaxes(fi_ref[:], 0, 1)
+    xe_r = 0.5 * (zk_r + zkc_r)
+    xe_i = 0.5 * (zk_i + zkc_i)
+    dr = 0.5 * (zk_r - zkc_r)
+    di = 0.5 * (zk_i - zkc_i)
+    k = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0).astype(zk_r.dtype)
+    ang = (2.0 * np.pi / n) * k                # wback = e^{+2pi i k/n}
+    wc = jnp.cos(ang)
+    ws = jnp.sin(ang)
+    xo_r = dr * wc - di * ws
+    xo_i = dr * ws + di * wc
+    z_r = (xe_r - xo_i)[:half]                 # z = xe + i*xo, drop Nyquist
+    z_i = (xe_i + xo_r)[:half]
+    zr, zi = _stockham_stages(z_r, z_i, half, 1.0)
+    scale = 1.0 / half
+    out = jnp.stack([zr, zi], axis=1).reshape(n, zr.shape[-1]) * scale
+    o_ref[:] = jnp.swapaxes(out, 0, 1)
+
+
+def irfft_stockham(sr: jnp.ndarray, si: jnp.ndarray, n: int):
+    """Batched inverse real FFT, planar (b, n/2+1) spectrum -> (b, n) real
+    (1/N scaling).  One fused kernel: untangle + n/2 inverse Stockham
+    stages + re/im interleave.  n must be a power of two >= 4."""
+    check(sr.ndim == 2 and sr.shape == si.shape,
+          'guard failed: sr.ndim == 2 and sr.shape == si.shape')
+    b, nb = sr.shape
+    check(n & (n - 1) == 0 and n >= 4, "power-of-two n >= 4 required")
+    check(nb == n // 2 + 1, "spectrum must have n/2+1 bins")
+    check_kernel_dtype(sr.dtype)
+    dt = sr.dtype
+    L = 128
+    bp = -(-b // L) * L
+    if bp != b:
+        pad = ((0, bp - b), (0, 0))
+        sr, si = jnp.pad(sr, pad), jnp.pad(si, pad)
+    grid = (bp // L,)
+    bs_in = pl.BlockSpec((L, nb), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bs_out = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_irfft_sk_kernel, n),
+        grid=grid,
+        in_specs=[bs_in, bs_in, bs_in, bs_in],
+        out_specs=bs_out,
+        out_shape=jax.ShapeDtypeStruct((bp, n), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(sr, si, jnp.flip(sr, axis=-1), jnp.flip(si, axis=-1))
+    return y[:b]
 
 
 # ---------------------------------------------------------------------------

@@ -276,6 +276,16 @@ def rfft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
         return jnp.fft.rfft(x)
     n = x.shape[-1]
     check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
+    if impl == "pallas_sk" and n >= 4 and not jnp.issubdtype(
+            x.dtype, jnp.complexfloating):
+        # dedicated real-FFT kernel: pack + untangle fused in-kernel
+        # (one HBM read + one write; kernels/fft_kernel.py)
+        from audiosignalprocess_tpu.kernels import fft_kernel
+
+        xf = x.reshape((-1, n))
+        yr, yi = fft_kernel.rfft_stockham(xf)
+        return (yr + 1j * yi).astype(_as_complex_dtype(x.dtype)).reshape(
+            x.shape[:-1] + (n // 2 + 1,))
     half = n // 2
     cdt = _as_complex_dtype(x.dtype)
     if half == 1:
@@ -298,6 +308,14 @@ def irfft(spec: jnp.ndarray, n: int, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
         return jnp.fft.irfft(spec, n)
     half = n // 2
     rdtype = jnp.float64 if spec.dtype == jnp.complex128 else jnp.float32
+    if impl == "pallas_sk" and n >= 4:
+        # dedicated inverse real-FFT kernel (untangle + interleave fused)
+        from audiosignalprocess_tpu.kernels import fft_kernel
+
+        sf = spec[..., : half + 1].reshape((-1, half + 1))
+        y = fft_kernel.irfft_stockham(
+            jnp.real(sf).astype(rdtype), jnp.imag(sf).astype(rdtype), n)
+        return y.reshape(spec.shape[:-1] + (n,))
     if half == 1:
         a, b = jnp.real(spec[..., 0]), jnp.real(spec[..., 1])
         return (jnp.stack([a + b, a - b], axis=-1) * 0.5).astype(rdtype)

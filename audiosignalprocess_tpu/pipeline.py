@@ -236,9 +236,16 @@ class GateStage(Stage):
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
         cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        # the spectral FIFO is carried PLANAR (re/im): complex arrays in a
+        # jit entry signature break some TPU transports (the ring driver's
+        # per-block step; lax.scan hides the carry, but the contract is
+        # one carry format everywhere) — and planar is the TPU-native
+        # layout anyway
+        del cdt
         st = dict(
             in_tail=jnp.zeros(batch + (d,), dtype),
-            fifo=jnp.zeros(batch + (self.noise_frames, nbins), cdt),
+            fifo_r=jnp.zeros(batch + (self.noise_frames, nbins), dtype),
+            fifo_i=jnp.zeros(batch + (self.noise_frames, nbins), dtype),
             floor_sum=jnp.zeros(batch + (1, nbins), dtype),
             floor_n=jnp.zeros((), jnp.int32),
             ola_tail=jnp.zeros(batch + (d,), dtype),
@@ -278,10 +285,14 @@ class GateStage(Stage):
         floor_n = (state["floor_n"] + jnp.sum(take.astype(jnp.int32))).astype(jnp.int32)
         # FIFO of depth noise_frames: pop oldest m, push m new.  Any frame
         # popped before the floor is final is a zero frame, so masking it
-        # with a provisional floor is exact.
-        buf = jnp.concatenate([state["fifo"], spec], axis=-2)
-        popped = buf[..., :m, :]
-        fifo = buf[..., m:, :]
+        # with a provisional floor is exact.  (Planar carry; see init_state.)
+        buf_r = jnp.concatenate(
+            [state["fifo_r"], jnp.real(spec).astype(dtype)], axis=-2)
+        buf_i = jnp.concatenate(
+            [state["fifo_i"], jnp.imag(spec).astype(dtype)], axis=-2)
+        popped = (buf_r[..., :m, :] + 1j * buf_i[..., :m, :]).astype(spec.dtype)
+        fifo_r = buf_r[..., m:, :]
+        fifo_i = buf_i[..., m:, :]
         floor = floor_sum / self.noise_frames
         mask = gate_mask(jnp.abs(popped).astype(dtype), floor,
                          self.threshold_db, self.reduction_db)
@@ -320,7 +331,8 @@ class GateStage(Stage):
         y = emit_num / norm
         new_state = dict(
             in_tail=ext[..., -d:],
-            fifo=fifo,
+            fifo_r=fifo_r,
+            fifo_i=fifo_i,
             floor_sum=floor_sum,
             floor_n=floor_n,
             ola_tail=ola_tail,
@@ -426,12 +438,14 @@ class StretchStage(Stage):
         self.out_block(block)  # validates alignment
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
-        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         depth, _, _ = self._slots(m)
+        # everything planar (re/im): complex carries break some TPU
+        # transports' jit entry signatures (see GateStage.init_state)
         return dict(
             in_tail=jnp.zeros(batch + (d,), dtype),
-            fifo=jnp.zeros(batch + (depth, nbins), cdt),
-            # planar rotors (see effects.phase_vocoder rotor notes):
+            fifo_r=jnp.zeros(batch + (depth, nbins), dtype),
+            fifo_i=jnp.zeros(batch + (depth, nbins), dtype),
+            # rotor states (see effects.phase_vocoder rotor notes):
             # z0 = unit(first true frame), captured once; acc = running
             # product of per-frame advance rotors (neutral init)
             z0r=jnp.zeros(batch + (1, nbins), dtype),
@@ -459,19 +473,23 @@ class StretchStage(Stage):
         # capture z0 when the first true frame (physical n_skip) arrives
         phys = state["blk"] * m + jnp.arange(m, dtype=jnp.int32)
         hit = (phys == self.n_skip).astype(dtype)[:, None]
-        fur, fui = unit_rotor(jnp.real(spec).astype(dtype),
-                              jnp.imag(spec).astype(dtype))
+        spec_r = jnp.real(spec).astype(dtype)
+        spec_i = jnp.imag(spec).astype(dtype)
+        fur, fui = unit_rotor(spec_r, spec_i)
         z0r = state["z0r"] + jnp.sum(fur * hit, axis=-2, keepdims=True)
         z0i = state["z0i"] + jnp.sum(fui * hit, axis=-2, keepdims=True)
-        fifo = jnp.concatenate([state["fifo"], spec], axis=-2)[..., -depth:, :]
-        # synthesis slots (static FIFO reads)
-        s0 = fifo[..., jnp.asarray(slots), :]
-        s1 = fifo[..., jnp.asarray(slots + 1), :]
+        fifo_r = jnp.concatenate([state["fifo_r"], spec_r],
+                                 axis=-2)[..., -depth:, :]
+        fifo_i = jnp.concatenate([state["fifo_i"], spec_i],
+                                 axis=-2)[..., -depth:, :]
+        # synthesis slots (static FIFO reads, planar)
+        s0r = fifo_r[..., jnp.asarray(slots), :]
+        s0i = fifo_i[..., jnp.asarray(slots), :]
+        s1r = fifo_r[..., jnp.asarray(slots + 1), :]
+        s1i = fifo_i[..., jnp.asarray(slots + 1), :]
         i_glob = state["blk"] * mo + jnp.arange(mo, dtype=jnp.int32) - self.off
         emit = (i_glob >= 0).astype(dtype)[:, None]
         # advance rotors u = unit(s1 conj s0); masked slots are neutral
-        s0r, s0i = jnp.real(s0).astype(dtype), jnp.imag(s0).astype(dtype)
-        s1r, s1i = jnp.real(s1).astype(dtype), jnp.imag(s1).astype(dtype)
         ur, ui = unit_rotor(s1r * s0r + s1i * s0i, s1i * s0r - s1r * s0i)
         ur = jnp.where(emit > 0, ur, 1.0)
         ui = jnp.where(emit > 0, ui, 0.0)
@@ -489,9 +507,13 @@ class StretchStage(Stage):
         accr = ar_ * cr[..., -1:, :] - ai_ * ci[..., -1:, :]
         acci = ar_ * ci[..., -1:, :] + ai_ * cr[..., -1:, :]
         frac = jnp.asarray(fr, dtype)[:, None]
-        mag = ((1.0 - frac) * jnp.abs(s0) + frac * jnp.abs(s1)).astype(dtype)
+        # hypot, not sqrt(r^2+i^2): matches jnp.abs(complex)'s accuracy
+        # (the naive form measurably costs ~4 dB on stream==full parity)
+        mag = ((1.0 - frac) * jnp.hypot(s0r, s0i)
+               + frac * jnp.hypot(s1r, s1i))
         mag = mag * emit
-        synth = (mag * (phr + 1j * phi_)).astype(s0.dtype)
+        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        synth = (mag * (phr + 1j * phi_)).astype(cdt)
         out_frames = fft_ops.irfft(synth, self.nfft, impl=self.impl) * w
         # OLA of mo frames -> mo*hop emitted + d tail (same as GateStage)
         r = self.nfft // self.hop
@@ -517,7 +539,8 @@ class StretchStage(Stage):
         y = emit_num / norm
         new_state = dict(
             in_tail=ext[..., -d:],
-            fifo=fifo,
+            fifo_r=fifo_r,
+            fifo_i=fifo_i,
             z0r=z0r,
             z0i=z0i,
             accr=accr,

@@ -159,3 +159,55 @@ class TestRadix2Lanes:
             np.concatenate([ref.real, ref.imag]),
             np.concatenate([got.real.astype(np.float64),
                             got.imag.astype(np.float64)])) >= 100.0
+
+
+class TestRfftStockham:
+    """Dedicated real-FFT Stockham kernels: even/odd pack + half-size
+    butterflies + untangle in ONE pallas_call (kernels/fft_kernel.py)."""
+
+    @pytest.mark.parametrize("n", (4, 256, 1024, 4096))
+    def test_rfft_vs_numpy(self, rng, n):
+        import jax.numpy as jnp
+
+        for b in (1, 5, 130):
+            x = rng.standard_normal((b, n)).astype(np.float32)
+            yr, yi = fft_kernel.rfft_stockham(jnp.asarray(x))
+            assert yr.shape == (b, n // 2 + 1)
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.rfft(x.astype(np.float64))
+            assert oracle.snr_db(
+                np.concatenate([ref.real, ref.imag]),
+                np.concatenate([got.real.astype(np.float64),
+                                got.imag.astype(np.float64)])) >= 100.0
+
+    @pytest.mark.parametrize("n", (8, 1024))
+    def test_irfft_roundtrip(self, rng, n):
+        import jax.numpy as jnp
+
+        x = rng.standard_normal((9, n)).astype(np.float32)
+        yr, yi = fft_kernel.rfft_stockham(jnp.asarray(x))
+        back = np.asarray(fft_kernel.irfft_stockham(yr, yi, n))
+        assert oracle.snr_db(x.astype(np.float64), back) >= 100.0
+
+    def test_ops_api_routing(self, rng):
+        """impl="pallas_sk" on the ops API hits the fused real kernels and
+        matches the oracle convention (batched, any leading shape)."""
+        x = rng.standard_normal((2, 3, 1024)).astype(np.float32)
+        s = np.asarray(fft_ops.rfft(x, impl="pallas_sk"))
+        ref = np.fft.rfft(x.astype(np.float64))
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag], axis=None),
+            np.concatenate([s.real.astype(np.float64),
+                            s.imag.astype(np.float64)], axis=None)) >= 100.0
+        y = np.asarray(fft_ops.irfft(s, 1024, impl="pallas_sk"))
+        assert oracle.snr_db(x.astype(np.float64), y) >= 100.0
+
+    def test_guards(self, rng):
+        import jax.numpy as jnp
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            fft_kernel.rfft_stockham(jnp.zeros((2, 48), np.float32))  # not 2^k
+        with _pt.raises(ValueError):
+            fft_kernel.irfft_stockham(jnp.zeros((2, 5), np.float32),
+                                      jnp.zeros((2, 5), np.float32), 16)

@@ -148,8 +148,11 @@ def main():
             print(f"  restart-from-block verified: resumed at block {half}, "
                   f"{out_b.shape[-1]} samples identical")
         maybe_write(args, out, RATE_OUT)
+        # dt is the TOTAL ring wall time for nb blocks (report computes
+        # samples/s as total input samples / dt, so dt must cover the
+        # whole input, not one block)
         report(f"config5_streaming_{CHANNELS}ch_ring", x_host, out,
-               dt / max(nb, 1), snr, args)
+               dt, snr, args)
         return
 
     if args.mode == "stream":

@@ -91,6 +91,21 @@ def main():
     results["fft_stockham_lanes"] = round(
         10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(errs**2)), 1)
 
+    from audiosignalprocess_tpu.kernels.fft_kernel import (
+        irfft_stockham, rfft_stockham,
+    )
+
+    rr_, ri_ = jax.jit(rfft_stockham)(xr_)
+    rgot = np.asarray(rr_) + 1j * np.asarray(ri_)
+    rref = np.fft.rfft(xr_.astype(np.float64))
+    errr = np.abs(rref - rgot)
+    results["rfft_stockham"] = round(
+        10 * np.log10(np.sum(np.abs(rref) ** 2) / np.sum(errr**2)), 1)
+    back = np.asarray(jax.jit(
+        lambda a, b: irfft_stockham(a, b, 1024))(rr_, ri_))
+    results["irfft_stockham"] = round(
+        oracle.snr_db(xr_.astype(np.float64), back), 1)
+
     xr5 = 0.01 * rng.standard_normal((2, 147 * 160 * 2)).astype(np.float32)
     xr5[:, 8000:30000] += np.sin(
         2 * np.pi * 440 * np.arange(22000) / 44100).astype(np.float32)
