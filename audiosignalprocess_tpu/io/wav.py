@@ -40,22 +40,37 @@ def read_wav(path: str, dtype=np.float32) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        # a size field pointing past EOF (truncated file) clamps to what is
+        # actually present — the frame count below adjusts accordingly
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"{path}: fmt chunk too short ({size} bytes)")
             tag, nch, rate, _brate, balign, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag == _EXTENSIBLE and size >= 40:
+            if tag == _EXTENSIBLE:
+                # the real format tag is the first word of the extension's
+                # SubFormat GUID (WAVE_FORMAT_EXTENSIBLE layout)
+                if size < 40:
+                    raise ValueError(
+                        f"{path}: extensible fmt chunk too short ({size} bytes)")
                 (tag,) = struct.unpack("<H", body[24:26])
             fmt = (tag, nch, rate, balign, bits)
-        elif cid == b"data":
+        elif cid == b"data" and raw is None:  # first data chunk wins
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     tag, nch, rate, balign, bits = fmt
+    if nch == 0 or balign == 0 or balign != nch * bits // 8:
+        raise ValueError(
+            f"{path}: inconsistent fmt (channels={nch}, block align={balign}, "
+            f"bits={bits})")
     nframes = len(raw) // balign
     raw = raw[: nframes * balign]
     if tag == _FLOAT and bits == 32:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif tag == _FLOAT and bits == 64:
+        x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
     elif tag == _PCM and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif tag == _PCM and bits == 32:
@@ -86,8 +101,12 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 16,
     # (float32 * 2^31 cannot represent 2^31-1 and overflows at +-1.0)
     inter = np.ascontiguousarray(x.T).astype(np.float64)
     if float_fmt:
-        body = inter.astype("<f4").tobytes()
-        tag, bits = _FLOAT, 32
+        if bits == 64:
+            body = inter.astype("<f8").tobytes()
+            tag = _FLOAT
+        else:
+            body = inter.astype("<f4").tobytes()
+            tag, bits = _FLOAT, 32
     elif bits == 16:
         body = np.clip(np.round(inter * 32768.0), -32768, 32767).astype("<i2").tobytes()
         tag = _PCM

@@ -65,3 +65,15 @@ class TestProfiling:
 
         with named_scope("test"), annotate("test"):
             assert float(jnp.sum(jnp.ones(4))) == 4.0
+
+
+def test_conformance_doc_fresh():
+    """docs/CONFORMANCE.md is regenerated from the oracle docstrings;
+    a stale doc means a convention changed without the doc."""
+    import subprocess, sys, pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_conformance.py"),
+         "--check"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr

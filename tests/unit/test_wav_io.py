@@ -56,3 +56,70 @@ def test_odd_data_chunk_pad(tmp_path):
     y, rate = read_wav(p, dtype=np.float64)
     assert rate == 8000 and y.shape == (1, 1001)
     np.testing.assert_allclose(y[0], x, atol=2e-7)
+
+
+def test_float64_roundtrip(tmp_path):
+    """tag=3 (IEEE float) with 64-bit samples decodes bit-exactly."""
+    x = RNG.standard_normal((2, 500)) * 0.3
+    p = str(tmp_path / "f64.wav")
+    write_wav(p, x, 96000, bits=64, float_fmt=True)
+    y, rate = read_wav(p, dtype=np.float64)
+    assert rate == 96000
+    np.testing.assert_array_equal(y, x)
+
+
+def test_truncated_data_chunk(tmp_path):
+    """A data chunk whose size field points past EOF clamps to the frames
+    actually present instead of crashing."""
+    x = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+    p = str(tmp_path / "trunc.wav")
+    write_wav(p, x, 8000, bits=16)
+    blob = open(p, "rb").read()
+    open(p, "wb").write(blob[:-10])  # drop 5 frames
+    y, rate = read_wav(p)
+    assert rate == 8000 and y.shape == (1, 95)
+    np.testing.assert_allclose(y[0], x[:95], atol=1e-4)
+
+
+def test_first_data_chunk_wins(tmp_path):
+    """Extra trailing data chunks (some writers append them) are ignored."""
+    import struct
+
+    x = np.linspace(-0.5, 0.5, 64).astype(np.float32)
+    p = str(tmp_path / "dup.wav")
+    write_wav(p, x, 8000, bits=16)
+    blob = bytearray(open(p, "rb").read())
+    junk = b"\x7f\x00" * 32
+    blob += b"data" + struct.pack("<I", len(junk)) + junk
+    blob[4:8] = struct.pack("<I", len(blob) - 8)
+    open(p, "wb").write(bytes(blob))
+    y, _ = read_wav(p)
+    assert y.shape == (1, 64)
+    np.testing.assert_allclose(y[0], x, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    (
+        (lambda b: b[:16] + b[20:], "fmt chunk too short"),     # size=12
+        (lambda b: b, "inconsistent fmt"),                       # balign=0
+        (lambda b: b, "extensible fmt chunk too short"),
+    ),
+)
+def test_malformed_headers_raise(tmp_path, mutate, match):
+    import struct
+
+    x = np.zeros(16, dtype=np.float32)
+    p = str(tmp_path / "bad.wav")
+    write_wav(p, x, 8000, bits=16)
+    blob = bytearray(open(p, "rb").read())
+    if "inconsistent" in match:
+        blob[32:34] = struct.pack("<H", 0)        # block align field
+    elif "extensible" in match:
+        blob[20:22] = struct.pack("<H", 0xFFFE)   # tag, but no extension
+    else:
+        blob = bytearray(mutate(bytes(blob)))
+        blob[16:20] = struct.pack("<I", 12)       # fmt size
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match=match):
+        read_wav(p)
