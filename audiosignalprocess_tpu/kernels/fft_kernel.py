@@ -694,8 +694,19 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 # structure: n/2+1 bins out, 1/N inverse scaling.
 
 
+def _spec_pad(n: int) -> int:
+    """Lane-aligned storage width for an n/2+1-bin half spectrum.
+
+    A 2049-wide minor dim makes every (8, 128) tile straddle a boundary
+    and the output DMA dominates (measured 10.7 ms vs 4.2 ms for the
+    aligned complex kernel at n=4096) — so the kernels compute/store a
+    zero-padded 128-multiple and the wrappers slice back."""
+    return -(-(n // 2 + 1) // 128) * 128
+
+
 def _rfft_sk_kernel(n, xr_ref, or_ref, oi_ref):
     half = n // 2
+    nbp = _spec_pad(n)
     xt = jnp.swapaxes(xr_ref[:], 0, 1)        # (n, L) sublane-major
     v = xt.reshape(half, 2, xt.shape[-1])     # even/odd pack z = x0 + i x1
     zr, zi = _stockham_stages(v[:, 0], v[:, 1], half, -1.0)
@@ -705,22 +716,27 @@ def _rfft_sk_kernel(n, xr_ref, or_ref, oi_ref):
     # with sign=+1 yields the reversed spectrum directly (same total
     # FLOPs as a full-size complex FFT; HBM traffic unchanged).
     pr, pi = _stockham_stages(v[:, 0], v[:, 1], half, 1.0)
-    zk_r = jnp.concatenate([zr, zr[:1]], axis=0)    # (half+1) rows
-    zk_i = jnp.concatenate([zi, zi[:1]], axis=0)
-    zkc_r = jnp.concatenate([pr, pr[:1]], axis=0)
-    zkc_i = -jnp.concatenate([pi, pi[:1]], axis=0)
-    xe_r = 0.5 * (zk_r + zkc_r)
-    xe_i = 0.5 * (zk_i + zkc_i)
-    dr = zk_r - zkc_r
-    di = zk_i - zkc_i
-    xo_r = 0.5 * di                            # xo = -0.5i (zk - zkc)
-    xo_i = -0.5 * dr
-    k = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0).astype(xt.dtype)
+    # bins 0..half-1 on EXACTLY half (sublane-aligned) rows — arrays with
+    # half+1 rows make every VPU op pay a remainder tile (measured ~2x on
+    # the whole kernel); the Nyquist bin is a separate 1-row fixup below
+    zkc_r = pr                                 # zkc[k] = conj(Z[half-k])
+    zkc_i = -pi                                #        = conj(P[k])
+    xe_r = 0.5 * (zr + zkc_r)
+    xe_i = 0.5 * (zi + zkc_i)
+    xo_r = 0.5 * (zi - zkc_i)                  # xo = -0.5i (zk - zkc)
+    xo_i = -0.5 * (zr - zkc_r)
+    k = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0).astype(xt.dtype)
     ang = (-2.0 * np.pi / n) * k               # w = e^{-2pi i k/n}
     wc = jnp.cos(ang)
     ws = jnp.sin(ang)
-    or_ref[:] = jnp.swapaxes(xe_r + wc * xo_r - ws * xo_i, 0, 1)
-    oi_ref[:] = jnp.swapaxes(xe_i + wc * xo_i + ws * xo_r, 0, 1)
+    sr = xe_r + wc * xo_r - ws * xo_i
+    si = xe_i + wc * xo_i + ws * xo_r
+    # S[half] = Re(Z[0]) - Im(Z[0]), purely real
+    nyq = zr[:1] - zi[:1]
+    zpad = jnp.zeros((nbp - half - 1, sr.shape[-1]), sr.dtype)
+    or_ref[:] = jnp.swapaxes(jnp.concatenate([sr, nyq, zpad], axis=0), 0, 1)
+    oi_ref[:] = jnp.swapaxes(
+        jnp.concatenate([si, jnp.zeros_like(nyq), zpad], axis=0), 0, 1)
 
 
 def rfft_stockham(x: jnp.ndarray):
@@ -734,57 +750,81 @@ def rfft_stockham(x: jnp.ndarray):
     check_kernel_dtype(x.dtype)
     dt = x.dtype
     L = 128
+    nbp = _spec_pad(n)
     bp = -(-b // L) * L
     if bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, 0)))
     grid = (bp // L,)
     bs_in = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    bs_out = pl.BlockSpec((L, n // 2 + 1), lambda i: (i, 0),
+    bs_out = pl.BlockSpec((L, nbp), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_rfft_sk_kernel, n),
         grid=grid,
         in_specs=[bs_in],
         out_specs=(bs_out, bs_out),
-        out_shape=(jax.ShapeDtypeStruct((bp, n // 2 + 1), dt),
-                   jax.ShapeDtypeStruct((bp, n // 2 + 1), dt)),
+        out_shape=(jax.ShapeDtypeStruct((bp, nbp), dt),
+                   jax.ShapeDtypeStruct((bp, nbp), dt)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x)
-    return yr[:b], yi[:b]
+    return yr[:b, : n // 2 + 1], yi[:b, : n // 2 + 1]
 
 
-def _irfft_sk_kernel(n, sr_ref, si_ref, fr_ref, fi_ref, o_ref):
+def _irfft_sk_kernel(n, sr_ref, si_ref, o_ref):
+    """Untangle + inverse pack without any runtime reversal.
+
+    The classic untangle builds z[k] = a[k] zk[k] + c[k] conj(zk[half-k])
+    (a = (1 + i w)/2, c = (1 - i w)/2, w = e^{2pi i k/n}) and inverse-
+    transforms z — but Mosaic cannot reverse a sublane axis.  Substituting
+    j = half-k inside IDFT(z) turns the runtime reversal into a STATIC
+    one on the twiddle vector:
+
+      IDFT(z) = DFT_plus(a .* zk[:half]) + DFT_minus(u)
+      u[j] = c[half-j] conj(zk[j])  (j>=1),   u[0] = c[0] conj(zk[half])
+
+    (the e^{2pi i (half-j) m / half} phase collapses to e^{-2pi i j m /
+    half} exactly).  Both static vectors come from a sublane iota, so the
+    kernel reads the spectrum exactly once and runs two half-size
+    butterfly passes — same FLOPs as one full-size complex FFT."""
     half = n // 2
-    zk_r = jnp.swapaxes(sr_ref[:], 0, 1)      # (half+1, L)
+    zk_r = jnp.swapaxes(sr_ref[:], 0, 1)      # (nbp, L); rows 0..half live
     zk_i = jnp.swapaxes(si_ref[:], 0, 1)
-    # Mosaic has no `rev` lowering; the conj-reversed spectrum arrives as
-    # two extra pre-flipped input planes (XLA fuses the flip upstream)
-    zkc_r = jnp.swapaxes(fr_ref[:], 0, 1)
-    zkc_i = -jnp.swapaxes(fi_ref[:], 0, 1)
-    xe_r = 0.5 * (zk_r + zkc_r)
-    xe_i = 0.5 * (zk_i + zkc_i)
-    dr = 0.5 * (zk_r - zkc_r)
-    di = 0.5 * (zk_i - zkc_i)
-    k = jax.lax.broadcasted_iota(jnp.int32, (half + 1, 1), 0).astype(zk_r.dtype)
-    ang = (2.0 * np.pi / n) * k                # wback = e^{+2pi i k/n}
-    wc = jnp.cos(ang)
-    ws = jnp.sin(ang)
-    xo_r = dr * wc - di * ws
-    xo_i = dr * ws + di * wc
-    z_r = (xe_r - xo_i)[:half]                 # z = xe + i*xo, drop Nyquist
-    z_i = (xe_i + xo_r)[:half]
-    zr, zi = _stockham_stages(z_r, z_i, half, 1.0)
+    dtype = zk_r.dtype
+    k = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0).astype(dtype)
+    th = (np.pi / half) * k                    # i*w = -sin + i cos
+    sn = jnp.sin(th)
+    cs = jnp.cos(th)
+    ar = 0.5 * (1.0 - sn)                      # a = (1 + i w)/2
+    ai = 0.5 * cs
+    zr, zi = zk_r[:half], zk_i[:half]
+    z1r = ar * zr - ai * zi
+    z1i = ar * zi + ai * zr
+    t1r, t1i = _stockham_stages(z1r, z1i, half, 1.0)
+    # g[j] = c[half-j] = (1 + sin(pi j/half) + i cos(pi j/half))/2
+    gr = 0.5 * (1.0 + sn)
+    gi = 0.5 * cs
+    ur = gr * zr + gi * zi                     # g .* conj(zk)
+    ui = gi * zr - gr * zi
+    # row 0 is the folded Nyquist term c[0] conj(zk[half]), c[0] = (1-i)/2.
+    # Replace via an aligned select — an offset-1 concat would force every
+    # downstream op onto misaligned sublane tiles.
+    u0r = 0.5 * zk_r[half : half + 1] - 0.5 * zk_i[half : half + 1]
+    u0i = -0.5 * zk_r[half : half + 1] - 0.5 * zk_i[half : half + 1]
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0) == 0
+    ur = jnp.where(row0, u0r, ur)
+    ui = jnp.where(row0, u0i, ui)
+    t2r, t2i = _stockham_stages(ur, ui, half, -1.0)
     scale = 1.0 / half
-    out = jnp.stack([zr, zi], axis=1).reshape(n, zr.shape[-1]) * scale
-    o_ref[:] = jnp.swapaxes(out, 0, 1)
+    out = jnp.stack([t1r + t2r, t1i + t2i], axis=1).reshape(n, zr.shape[-1])
+    o_ref[:] = jnp.swapaxes(out * scale, 0, 1)
 
 
 def irfft_stockham(sr: jnp.ndarray, si: jnp.ndarray, n: int):
     """Batched inverse real FFT, planar (b, n/2+1) spectrum -> (b, n) real
-    (1/N scaling).  One fused kernel: untangle + n/2 inverse Stockham
-    stages + re/im interleave.  n must be a power of two >= 4."""
+    (1/N scaling).  One fused kernel: untangle + two n/2 butterfly passes
+    + re/im interleave.  n must be a power of two >= 4."""
     check(sr.ndim == 2 and sr.shape == si.shape,
           'guard failed: sr.ndim == 2 and sr.shape == si.shape')
     b, nb = sr.shape
@@ -793,23 +833,23 @@ def irfft_stockham(sr: jnp.ndarray, si: jnp.ndarray, n: int):
     check_kernel_dtype(sr.dtype)
     dt = sr.dtype
     L = 128
+    nbp = _spec_pad(n)
     bp = -(-b // L) * L
-    if bp != b:
-        pad = ((0, bp - b), (0, 0))
-        sr, si = jnp.pad(sr, pad), jnp.pad(si, pad)
+    pad = ((0, bp - b), (0, nbp - nb))  # lane-align the minor dim too
+    sr, si = jnp.pad(sr, pad), jnp.pad(si, pad)
     grid = (bp // L,)
-    bs_in = pl.BlockSpec((L, nb), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bs_in = pl.BlockSpec((L, nbp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     bs_out = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     y = pl.pallas_call(
         functools.partial(_irfft_sk_kernel, n),
         grid=grid,
-        in_specs=[bs_in, bs_in, bs_in, bs_in],
+        in_specs=[bs_in, bs_in],
         out_specs=bs_out,
         out_shape=jax.ShapeDtypeStruct((bp, n), dt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(sr, si, jnp.flip(sr, axis=-1), jnp.flip(si, axis=-1))
+    )(sr, si)
     return y[:b]
 
 

@@ -16,6 +16,13 @@ packing).  Three implementations behind one API:
   so the extra matmul FLOPs are free and the kernel runs at the memory
   roofline.  **This is the TPU-native performance path.**
 - ``impl="xla"``        — jnp.fft fallback for cross-checking.
+- ``impl="auto"``       — resolve per backend and transform at trace time:
+  on TPU, complex fft/ifft route to the Stockham butterfly kernel
+  (``pallas_sk``, the measured winner at every size) and rfft/irfft to
+  ``matmul`` (on the current compute-throttled chip the MXU four-step
+  wins; the single-pass real kernel's halved HBM traffic pays off on
+  full-bandwidth parts — see docs/PERF.md "real-FFT kernels"); f64 and
+  non-TPU backends resolve to ``matmul``.
 
 Forward is unnormalized, inverse scales 1/N (C convention, oracle-pinned).
 All functions are batched over leading axes; the transform is on the last
@@ -26,13 +33,33 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from audiosignalprocess_tpu.utils.validate import check
 
-DEFAULT_IMPL = "matmul"
+DEFAULT_IMPL = "auto"
+
+
+def _resolve_impl(impl: str, kind: str, dtype) -> str:
+    """Resolve ``impl="auto"`` to a concrete implementation.
+
+    kind: "fft" (complex transform) or "rfft" (real packing).  The TPU
+    choices follow the measured roofline (docs/PERF.md): Stockham
+    butterfly kernel for complex transforms, MXU four-step for the real
+    packing.  f64 (no TPU support) and non-TPU backends get the XLA
+    einsum four-step, which the compiler fuses well everywhere.
+    """
+    if impl != "auto":
+        return impl
+    if dtype in (jnp.float64, np.float64, jnp.complex128, np.complex128):
+        return "matmul"
+    if jax.default_backend() == "tpu" and not os.environ.get(
+            "ASP_INTERPRET_PALLAS"):
+        return "pallas_sk" if kind == "fft" else "matmul"
+    return "matmul"
 
 # ---------------------------------------------------------------------------
 # Design-time tables (float64 numpy, embedded as constants)
@@ -247,6 +274,7 @@ def fft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
         x = x.astype(_as_complex_dtype(x.dtype))
+    impl = _resolve_impl(impl, "fft", x.dtype)
     if impl == "xla":
         return jnp.fft.fft(x)
     n = x.shape[-1]
@@ -259,6 +287,7 @@ def ifft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
         x = x.astype(_as_complex_dtype(x.dtype))
+    impl = _resolve_impl(impl, "fft", x.dtype)
     if impl == "xla":
         return jnp.fft.ifft(x)
     n = x.shape[-1]
@@ -272,6 +301,7 @@ def rfft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     Structural match of the classic C real-packing (SURVEY.md §2 row 5).
     """
     x = jnp.asarray(x)
+    impl = _resolve_impl(impl, "rfft", x.dtype)
     if impl == "xla":
         return jnp.fft.rfft(x)
     n = x.shape[-1]
@@ -304,6 +334,7 @@ def rfft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
 def irfft(spec: jnp.ndarray, n: int, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     """Inverse real FFT: n real samples from n/2+1 bins (1/N scaling)."""
     spec = jnp.asarray(spec)
+    impl = _resolve_impl(impl, "rfft", spec.dtype)
     if impl == "xla":
         return jnp.fft.irfft(spec, n)
     half = n // 2

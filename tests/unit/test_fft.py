@@ -107,3 +107,38 @@ class TestJaxFFT:
         for impl in IMPLS:
             out = fft_ops.rfft(x, impl=impl)
             assert _snr_c(ref, out) >= 60.0, impl
+
+
+class TestAutoImpl:
+    """impl="auto" resolves per backend/transform (docs/PERF.md policy)."""
+
+    def test_resolution_cpu(self):
+        from audiosignalprocess_tpu.ops.fft import _resolve_impl
+        import numpy as np
+
+        assert _resolve_impl("auto", "fft", np.dtype(np.complex64)) == "matmul"
+        assert _resolve_impl("auto", "rfft", np.dtype(np.float32)) == "matmul"
+        assert _resolve_impl("matmul", "fft", np.dtype(np.complex64)) == "matmul"
+        assert _resolve_impl("xla", "rfft", np.dtype(np.float32)) == "xla"
+
+    def test_f64_never_pallas(self):
+        from audiosignalprocess_tpu.ops.fft import _resolve_impl
+        import numpy as np
+
+        for kind in ("fft", "rfft"):
+            assert _resolve_impl("auto", kind, np.dtype(np.float64)) == "matmul"
+            assert _resolve_impl("auto", kind, np.dtype(np.complex128)) == "matmul"
+
+    def test_auto_end_to_end(self, rng):
+        import numpy as np
+        from audiosignalprocess_tpu.ops import fft as fft_ops
+
+        x = rng.standard_normal((3, 512)).astype(np.float32)
+        s = np.asarray(fft_ops.rfft(x, impl="auto"))
+        ref = np.fft.rfft(x.astype(np.float64))
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag], axis=None),
+            np.concatenate([s.real.astype(np.float64),
+                            s.imag.astype(np.float64)], axis=None)) >= 100.0
+        y = np.asarray(fft_ops.irfft(s, 512, impl="auto"))
+        assert oracle.snr_db(x.astype(np.float64), y) >= 100.0
