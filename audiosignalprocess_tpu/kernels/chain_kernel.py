@@ -32,7 +32,7 @@ from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
-    _split_n, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
     floor_grid, inv_norm_rows, ola_rows,
@@ -161,7 +161,7 @@ def fir_noise_gate_fused(
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
     check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1, 'guard failed: nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1')
-    n1, n2 = _split_n(nfft)
+    n1, n2 = _grid_split(nfft)
     check(hop % n2 == 0, f"hop {hop} not a multiple of row width {n2}")
     hr, nr, dr = hop // n2, nfft // n2, (nfft - hop) // n2
     e0 = -(-(t - 1) // n2) * n2
@@ -217,7 +217,7 @@ def fir_noise_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt) + [
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
         jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))

@@ -140,11 +140,29 @@ def _mm_pair(a, t1, t2, dn, acc_dt):
     return _dot(a, t1, dn, acc_dt), _dot(a, t2, dn, acc_dt)
 
 
+def _grid_split(n: int) -> tuple[int, int]:
+    """(n1, n2) factorization used by the fused grid kernels.
+
+    The lane width n2 trades VPU lane efficiency against n2-side MXU
+    FLOPs: every elementwise/MAC op in the kernels runs on n2-wide
+    vregs (n2=32 uses 1/4 of the 128 lanes), while the MXU contraction
+    cost grows linearly in n2.  Since Mosaic overlaps the two units
+    (measured: a matmul chain hides completely under VPU work), the
+    optimum is workload-dependent — ``ASP_GRID_N2`` overrides the
+    balanced default for tuning (see docs/PERF.md grid-split sweep)."""
+    o = os.environ.get("ASP_GRID_N2")
+    if o:
+        n2 = int(o)
+        check(n % n2 == 0 and n2 & (n2 - 1) == 0,
+              f"ASP_GRID_N2={n2} must be a power-of-two divisor of {n}")
+        return n // n2, n2
+    return _split_n(n)
+
+
 @functools.lru_cache(maxsize=None)
-def _grid_tables(n: int):
+def _grid_tables(n: int, n1: int, n2: int):
     """Positive-angle four-step tables: (c1, s1) (n1,n1), (c2, s2) (n2,n2),
     (tbc, tbs) twiddle grids laid out [b, c] (n2, n1)."""
-    n1, n2 = _split_n(n)
     jk1 = 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
     jk2 = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
     tw = 2.0 * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n
@@ -155,11 +173,13 @@ def _grid_tables(n: int):
 _MAC_MAX_N1 = 32  # unroll bound for the sublane-MAC n1-side DFT
 
 
-def grid_table_arrays(n: int, dt):
+def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None):
     """Positive-direction four-step tables as kernel-input arrays, with
     c2/s2 hi/lo bf16-split when the 3-pass emulation is active (_tab).
-    Shared by every fused kernel that embeds the grid FFT."""
-    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
+    Shared by every fused kernel that embeds the grid FFT.  ``split``
+    must match the (n1, n2) the calling kernel uses (default balanced)."""
+    n1, n2 = split if split is not None else _split_n(n)
+    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n, n1, n2)
     return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt),
             _tab(c2_, dt), _tab(s2_, dt),
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
@@ -387,9 +407,9 @@ def fft_fourstep(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     b, n = xr.shape
     check(n & (n - 1) == 0 and n >= 4, 'guard failed: n & (n - 1) == 0 and n >= 4')
     check_kernel_dtype(xr.dtype)
-    n1, n2 = _split_n(n)
+    n1, n2 = _grid_split(n)
     dt = xr.dtype
-    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n)
+    c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n, n1, n2)
     ss = 1.0 if sign < 0 else -1.0  # inverse = conjugate: negate sin grids
     tabs = [jnp.asarray(c1_, dt), jnp.asarray(ss * s1_, dt),
             _tab(c2_, dt), _tab(ss * s2_, dt),

@@ -35,7 +35,7 @@ from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
-    _split_n, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
@@ -192,7 +192,7 @@ def noise_gate_fused(
     d = nfft - hop
     nframes = 1 + (n - nfft) // hop
     out_len = nfft + (nframes - 1) * hop
-    n1, n2 = _split_n(nfft)
+    n1, n2 = _grid_split(nfft)
     check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
     hr, nr, dr = hop // n2, nfft // n2, d // n2
 
@@ -226,7 +226,7 @@ def noise_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt)
+    tabs = grid_table_arrays(nfft, dt, (n1, n2))
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

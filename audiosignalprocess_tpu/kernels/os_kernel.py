@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
-    _split_n, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
 )
 from audiosignalprocess_tpu.utils.validate import check
 
@@ -101,7 +101,7 @@ def overlap_save_fused(
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
     check(nfft > t - 1 and nfft & (nfft - 1) == 0, 'guard failed: nfft > t - 1 and nfft & (nfft - 1) == 0')
-    n1, n2 = _split_n(nfft)
+    n1, n2 = _grid_split(nfft)
     # row-aligned emission offset and block hop
     e0 = -(-(t - 1) // n2) * n2
     b = ((nfft - e0) // n2) * n2
@@ -144,7 +144,7 @@ def overlap_save_fused(
     hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
     # grid layout Hg[c, d] = Hf[n1*d + c]
     hg = hf.reshape(n2, n1).T
-    consts = grid_table_arrays(nfft, dt) + [
+    consts = grid_table_arrays(nfft, dt, (n1, n2)) + [
         jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
 
     bs_c = lambda shape: pl.BlockSpec(

@@ -37,7 +37,7 @@ from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_rows
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
-    _split_n,
+    _grid_split,
     _use_bf16x3,
     split_bf16_np,
     check_kernel_dtype,
@@ -177,7 +177,7 @@ def resample_fir_gate_fused(
     t = len(h)
     check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1,
           "nfft must be a hop-aligned power of two exceeding the FIR taps")
-    n1, n2 = _split_n(nfft)
+    n1, n2 = _grid_split(nfft)
     check(hop % n2 == 0, f"hop {hop} not a multiple of row width {n2}")
     hr, nr, dr = hop // n2, nfft // n2, (nfft - hop) // n2
 
@@ -274,7 +274,7 @@ def resample_fir_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt) + [
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
         jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
     if _use_bf16x3(dt):
         m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
