@@ -259,3 +259,216 @@ def noise_gate_fused(
     )(xp3, floor, wgrid, inv_norm, *tabs)
     out = y.reshape(bp, total_f * hop)[:b, :out_len]
     return out.reshape(batch + (out_len,))
+
+
+# ---------------------------------------------------------------------------
+# fused streaming step (pipeline.GateStage block path)
+# ---------------------------------------------------------------------------
+#
+# One pallas_call per Chain.step block: frame + window + forward grid FFT +
+# noise-floor mask + inverse FFT + window + OLA, with every streaming carry
+# (spectral FIFO, floor accumulator, OLA tail, release state) flowing
+# through the kernel as planar grid-layout inputs/outputs.  Replaces the
+# multi-pass jnp step (frame/rfft/mask/irfft/OLA each round-tripping HBM)
+# with a single read of the block + carries and a single write of the
+# emitted samples + carries.  Position logic (frame validity, floor-take
+# counting, WOLA edge normalization) is tiny and stays in XLA; numerics
+# match pipeline.GateStage.step / effects.noise_gate (oracle-pinned).
+
+
+def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
+                      tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                      rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                      c1, s1, c2, s2, tbc, tbs,
+                      y_ref, fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
+    wv = wgrid[:]                                     # (n1, n2) grid window
+    ext = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)  # (tb, dr+br, n2)
+    frames = jnp.stack([ext[:, q * hr: q * hr + nr, :] for q in range(m)],
+                       axis=1)                        # (tb, m, n1, n2)
+    # latency-padding frames carry no signal: zero them (pre-FFT, which is
+    # equivalent to the jnp path's post-FFT spectrum zeroing — linearity)
+    frames = frames * wv[None, None] * valid_ref[:][None, :, None, :]
+    sr, si = fourstep_grid_fwd(frames, None, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    mag = jnp.sqrt(sr * sr + si * si)
+    # noise-floor accumulation over this block's designated take frames
+    fs_new = fs_ref[:] + jnp.sum(mag * take_ref[:][None, :, None, :], axis=1)
+    fso_ref[:] = fs_new
+    # spectral FIFO (depth nf): pop the oldest m, push the m new frames
+    buf_r = jnp.concatenate([fr_ref[:], sr], axis=1)  # (tb, nf+m, n1, n2)
+    buf_i = jnp.concatenate([fi_ref[:], si], axis=1)
+    pr, pi = buf_r[:, :m], buf_i[:, :m]
+    fro_ref[:] = buf_r[:, m:]
+    fio_ref[:] = buf_i[:, m:]
+    floor = (fs_new * (1.0 / nf))[:, None]            # (tb, 1, n1, n2)
+    pmag = jnp.sqrt(pr * pr + pi * pi)
+    mask = jnp.where(pmag > floor * thresh_gain, 1.0, att).astype(pr.dtype)
+    if release > 0.0:
+        # s_q = max(mask_q, release * s_{q-1}) across the popped frames,
+        # carried across steps (matches the whole-file scan exactly)
+        state = rel_ref[:]
+        rows = []
+        for q in range(m):
+            state = jnp.maximum(mask[:, q], release * state)
+            rows.append(state)
+        relo_ref[:] = state
+        mask = jnp.stack(rows, axis=1)
+    else:
+        relo_ref[:] = rel_ref[:]  # pass-through (all outputs must be written)
+    y = fourstep_grid_inv_real(pr * mask, pi * mask, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
+    oto_ref[:] = ot_ref[:]                            # seed the OLA carry
+    emit = ola_rows(y, oto_ref, m, hr, dr, n2)        # (tb, m*hr, n2)
+    y_ref[:] = emit * inorm_ref[:][None]
+
+
+def gate_step_fused(
+    x: jnp.ndarray,
+    state: dict,
+    *,
+    nfft: int,
+    hop: int,
+    threshold_db: float,
+    reduction_db: float,
+    noise_frames: int,
+    release: float,
+    window_kind: str,
+    input_latency: int,
+    latency: int,
+    head_norm: np.ndarray,
+    const_norm: float,
+    batch_tile: int = 8,
+):
+    """Fused Pallas streaming gate step: (state, x) -> (new_state, y).
+
+    Drop-in for pipeline.GateStage.step with the grid-layout carry produced
+    by gate_step_init_state (spectral FIFO / floor / release are carried in
+    the four-step (n1, n2) grid layout so they enter the kernel directly).
+    x is (batch..., b) with b a multiple of hop; y matches x's shape.
+    """
+    x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
+    batch = x.shape[:-1]
+    b = x.shape[-1]
+    dt = x.dtype
+    d = nfft - hop
+    check(b % hop == 0 and b >= hop, f"block {b} not a multiple of hop={hop}")
+    m = b // hop
+    n1, n2 = _grid_split(nfft)
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
+    hr, nr, dr = hop // n2, nfft // n2, d // n2
+    br = b // n2
+
+    xf = x.reshape((-1, b))
+    bs = xf.shape[0]
+    flat = lambda a: a.reshape((bs,) + a.shape[len(batch):])
+    in_tail = flat(state["in_tail"])
+    fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
+    floor_sum = flat(state["gfloor_sum"])
+    ola_tail = flat(state["ola_tail"])
+    rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
+        (bs, n1, n2), dt)
+
+    # position logic (XLA): frame validity, floor-take counting, WOLA norm
+    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
+    valid_f = (starts >= input_latency)
+    take_f = jnp.logical_and(
+        valid_f,
+        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
+        <= noise_frames,
+    )
+    ones_row = jnp.ones((1, n2), dt)
+    valid2 = valid_f.astype(dt)[:, None] * ones_row          # (m, n2)
+    take2 = take_f.astype(dt)[:, None] * ones_row
+    p0 = state["pos"] - latency - input_latency
+    pvec = p0 + jnp.arange(b, dtype=jnp.int32)
+    head = jnp.asarray(head_norm, dt)
+    const = jnp.asarray(const_norm, dt)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    inorm = (1.0 / norm).reshape(br, n2)
+
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
+    tabs = grid_table_arrays(nfft, dt, (n1, n2))
+    thresh_gain = float(10.0 ** (threshold_db / 20.0))
+    att = float(10.0 ** (-reduction_db / 20.0))
+
+    tb = int(min(batch_tile, bs))
+    bp = -(-bs // tb) * tb
+    pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
+        if bp != bs else a
+    x3 = pad_b(xf.reshape(bs, br, n2))
+    tail3 = pad_b(in_tail.reshape(bs, dr, n2))
+    ot3 = pad_b(ola_tail.reshape(bs, dr, n2))
+    fifo_r, fifo_i = pad_b(fifo_r), pad_b(fifo_i)
+    floor_sum, rel = pad_b(floor_sum), pad_b(rel)
+
+    bs_b = lambda shp: pl.BlockSpec(
+        (tb,) + shp[1:], (lambda i, _n=len(shp): (i,) + (0,) * (_n - 1)),
+        memory_space=pltpu.VMEM)
+    bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, _n=a.ndim: (0,) * _n),
+                                  memory_space=pltpu.VMEM)
+    ins = [tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel,
+           valid2, take2, inorm, wgrid] + tabs
+    in_specs = ([bs_b(tail3.shape), bs_b(x3.shape), bs_b(fifo_r.shape),
+                 bs_b(fifo_i.shape), bs_b(floor_sum.shape), bs_b(ot3.shape),
+                 bs_b(rel.shape)]
+                + [bs_c(valid2), bs_c(take2), bs_c(inorm), bs_c(wgrid)]
+                + [bs_c(t) for t in tabs])
+    out_shape = (jax.ShapeDtypeStruct((bp, br, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, dr, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt))
+    out_specs = tuple(bs_b(s.shape) for s in out_shape)
+    y3, fro, fio, fso, oto, relo = pl.pallas_call(
+        functools.partial(_gate_step_kernel, m, hr, nr, dr, n1, n2,
+                          float(noise_frames), thresh_gain, att,
+                          float(release)),
+        grid=(bp // tb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*ins)
+
+    unb = lambda a: a[:bs].reshape(batch + a.shape[1:])
+    ext_tail = jnp.concatenate([in_tail, xf], axis=-1)[..., -d:]
+    new_state = dict(
+        in_tail=ext_tail.reshape(batch + (d,)),
+        gfifo_r=unb(fro),
+        gfifo_i=unb(fio),
+        gfloor_sum=unb(fso),
+        floor_n=(state["floor_n"]
+                 + jnp.sum(take_f.astype(jnp.int32))).astype(jnp.int32),
+        ola_tail=unb(oto).reshape(batch + (d,)),
+        pos=(state["pos"] + b).astype(jnp.int32),
+    )
+    if release > 0.0:
+        new_state["grel"] = unb(relo)
+    y = unb(y3).reshape(batch + (b,))
+    return new_state, y
+
+
+def gate_step_init_state(batch: tuple, nfft: int, hop: int,
+                         noise_frames: int, release: float, dtype):
+    """Grid-layout streaming carry for gate_step_fused (the fused analogue
+    of pipeline.GateStage.init_state's bin-space carry)."""
+    n1, n2 = _grid_split(nfft)
+    d = nfft - hop
+    st = dict(
+        in_tail=jnp.zeros(batch + (d,), dtype),
+        gfifo_r=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfifo_i=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfloor_sum=jnp.zeros(batch + (n1, n2), dtype),
+        floor_n=jnp.zeros((), jnp.int32),
+        ola_tail=jnp.zeros(batch + (d,), dtype),
+        pos=jnp.zeros((), jnp.int32),
+    )
+    if release > 0.0:
+        st["grel"] = jnp.zeros(batch + (n1, n2), dtype)
+    return st

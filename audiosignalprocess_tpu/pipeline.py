@@ -233,6 +233,18 @@ class GateStage(Stage):
 
     def init_state(self, batch, block, dtype):
         check(block % self.hop == 0 and block >= self.hop, 'guard failed: block % self.hop == 0 and block >= self.hop')
+        if self.fused and dtype != jnp.float64:
+            from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+            from audiosignalprocess_tpu.kernels.gate_kernel import (
+                gate_step_init_state,
+            )
+
+            if self.hop % _grid_split(self.nfft)[1] == 0:
+                return gate_step_init_state(batch, self.nfft, self.hop,
+                                            self.noise_frames, self.release,
+                                            dtype)
+            # hop narrower than the kernel's lane width: the fused step
+            # cannot frame in row space — fall through to the jnp carry
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
         cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -259,6 +271,22 @@ class GateStage(Stage):
         return st
 
     def step(self, state, x):
+        if self.fused and "gfifo_r" in state:
+            # fully-fused Pallas step: frame+FFT+mask+IFFT+OLA in one kernel,
+            # carries in grid layout (kernels/gate_kernel.gate_step_fused)
+            from audiosignalprocess_tpu.kernels.gate_kernel import (
+                gate_step_fused,
+            )
+
+            return gate_step_fused(
+                x, state, nfft=self.nfft, hop=self.hop,
+                threshold_db=self.threshold_db,
+                reduction_db=self.reduction_db,
+                noise_frames=self.noise_frames, release=self.release,
+                window_kind=self.window_kind,
+                input_latency=self.input_latency, latency=self.latency,
+                head_norm=self._head_norm(), const_norm=self._norm_const(),
+            )
         b = x.shape[-1]
         m = b // self.hop
         d = self.nfft - self.hop

@@ -147,6 +147,26 @@ class TestFusedStages:
         assert oracle.snr_db(ya.astype(np.float64) + 1e-30,
                              yb.astype(np.float64) + 1e-30) >= 100.0
 
+    @pytest.mark.parametrize("release", (0.0, 0.9))
+    def test_gate_stage_fused_streaming(self, rng, release):
+        """Fused Pallas streaming step (gate_step_fused) == jnp step, and
+        stream == full through the fused path (VERDICT P5: the streaming
+        path now has a real Pallas step kernel)."""
+        x = (0.01 * rng.standard_normal((2, 8192))).astype(np.float32)
+        x[:, 2048:4096] += np.sin(np.arange(2048) / 10.0).astype(np.float32)
+        ref = Chain([GateStage(release=release)])
+        fus = Chain([GateStage(release=release, fused=True)])
+        lat = ref.build(); fus.build()
+        y_ref = np.asarray(ref.stream(x, 1024))
+        y_fus = np.asarray(fus.stream(x, 1024))
+        assert oracle.snr_db(y_ref.astype(np.float64) + 1e-30,
+                             y_fus.astype(np.float64) + 1e-30) >= 100.0
+        full = np.asarray(ref.full(x))
+        got = y_fus[..., lat:]
+        want = full[..., : got.shape[-1]]
+        assert oracle.snr_db(want.astype(np.float64) + 1e-30,
+                             got.astype(np.float64) + 1e-30) >= 100.0
+
 
 class TestSingleTap:
     def test_single_tap_fir_stage(self, rng):

@@ -119,6 +119,23 @@ def main():
     ])
     results["resample_fir_gate_fused"] = round(oracle.snr_db(r5, o5), 1)
 
+    # fused streaming gate step (pipeline.GateStage fused carry path):
+    # stream 8 blocks through the kernel, compare vs the float64 oracle
+    # whole-file gate over the latency-aligned overlap
+    from audiosignalprocess_tpu.pipeline import Chain, GateStage
+
+    chain = Chain([GateStage(noise_frames=4, fused=True)])
+    lat = chain.build()
+    xst = 0.01 * rng.standard_normal((2, 8192)).astype(np.float32)
+    xst[:, 2048:6000] += np.sin(
+        2 * np.pi * 440 * np.arange(3952) / 48000).astype(np.float32)
+    yst = np.asarray(jax.jit(lambda v: chain.stream(v, 1024))(xst))[:, lat:]
+    rst = np.stack([oracle.noise_gate(xst[i].astype(np.float64),
+                                      noise_frames=4) for i in range(2)])
+    nst = min(yst.shape[-1], rst.shape[-1])
+    results["gate_step_fused"] = round(
+        oracle.snr_db(rst[:, :nst], yst[:, :nst]), 1)
+
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
     print(json.dumps(results))
