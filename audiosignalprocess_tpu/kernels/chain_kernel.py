@@ -252,3 +252,249 @@ def fir_noise_gate_fused(
     )(xp3, floor, wgrid, inv_norm, *tabs)
     out = y.reshape(bp, total_f * hop)[:bs, :out_len]
     return out.reshape(batch + (out_len,))
+
+
+# ---------------------------------------------------------------------------
+# fused streaming step (pipeline.FIRGateStage block path)
+# ---------------------------------------------------------------------------
+#
+# One pallas_call per streaming block for the FIR -> gate chain: the raw
+# block plus a raw-input tail carry enter VMEM once, the FIR runs as
+# grid-FFT overlap-save over the in-VMEM window (recomputing the
+# (nfft-hop)-sample framing halo from raw input — the same redundant-MXU
+# trick as the whole-file chain kernel, so no filtered-domain carry is
+# needed), and the gate step (frame + FFT + noise-floor mask + inverse +
+# OLA with spill/release carries) runs on the filtered rows in-register.
+# Halves the streaming chain's HBM passes vs overlap_save_fused +
+# gate_step_fused per block.  Numerics match FIRStage -> GateStage
+# streaming (oracle-pinned).
+
+
+def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                          nf, thresh_gain, att, release,
+                          tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                          rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                          c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                          y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                          relo_ref):
+    tb = x_ref.shape[0]
+    pieces = [tail_ref[:], x_ref[:]]
+    if zpad_r:
+        # zero future rows: the OS valid region only uses causal taps, so
+        # outputs at in-block positions are exact (see wrapper notes)
+        pieces.append(jnp.zeros((tb, zpad_r, n2), x_ref.dtype))
+    w3 = jnp.concatenate(pieces, axis=1)
+    # ---- FIR: overlap-save over nb_os blocks at row hop br
+    blocks = jnp.stack([w3[:, k * br : k * br + nr, :] for k in range(nb_os)],
+                       axis=1)
+    sr, si = fourstep_grid_fwd(blocks, None, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    pr = sr * hgr[:] - si * hgi[:]
+    pi_ = sr * hgi[:] + si * hgr[:]
+    fil4 = fourstep_grid_inv_real(pr, pi_, n1, n2,
+                                  c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    filtered = jnp.concatenate(
+        [fil4[:, k, e0r : e0r + br, :] for k in range(nb_os)], axis=1
+    )[:, : dr + m * hr]  # filtered rows [pos-d, pos+b)
+    # ---- gate step on the filtered rows (same body as _gate_step_kernel)
+    wv = wgrid[:]
+    frames = jnp.stack(
+        [filtered[:, q * hr : q * hr + nr, :] for q in range(m)], axis=1)
+    frames = frames * wv[None, None] * valid_ref[:][None, :, None, :]
+    gr, gi = fourstep_grid_fwd(frames, None, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
+    mag = jnp.sqrt(gr * gr + gi * gi)
+    fs_new = fs_ref[:] + jnp.sum(mag * take_ref[:][None, :, None, :], axis=1)
+    fso_ref[:] = fs_new
+    buf_r = jnp.concatenate([fr_ref[:], gr], axis=1)
+    buf_i = jnp.concatenate([fi_ref[:], gi], axis=1)
+    pr2, pi2 = buf_r[:, :m], buf_i[:, :m]
+    fro_ref[:] = buf_r[:, m:]
+    fio_ref[:] = buf_i[:, m:]
+    floor = (fs_new * (1.0 / nf))[:, None]
+    pmag = jnp.sqrt(pr2 * pr2 + pi2 * pi2)
+    mask = jnp.where(pmag > floor * thresh_gain, 1.0, att).astype(pr2.dtype)
+    if release > 0.0:
+        state = rel_ref[:]
+        rows = []
+        for q in range(m):
+            state = jnp.maximum(mask[:, q], release * state)
+            rows.append(state)
+        relo_ref[:] = state
+        mask = jnp.stack(rows, axis=1)
+    else:
+        relo_ref[:] = rel_ref[:]
+    y = fourstep_grid_inv_real(pr2 * mask, pi2 * mask, n1, n2,
+                               c1[:], s1[:], c2[:], s2[:], tbc[:],
+                               tbs[:]) * wv
+    oto_ref[:] = ot_ref[:]
+    emit = ola_rows(y, oto_ref, m, hr, dr, n2)
+    y_ref[:] = emit * inorm_ref[:][None]
+
+
+def fir_gate_step_fused(
+    x: jnp.ndarray,
+    state: dict,
+    h,
+    *,
+    nfft: int,
+    hop: int,
+    threshold_db: float,
+    reduction_db: float,
+    noise_frames: int,
+    release: float,
+    window_kind: str,
+    input_latency: int,
+    latency: int,
+    head_norm: np.ndarray,
+    const_norm: float,
+    batch_tile: int = 8,
+):
+    """Fused Pallas streaming FIR+gate step: (state, x) -> (new_state, y).
+
+    One kernel per block for the FIRStage(nfft) -> GateStage(nfft, hop)
+    chain.  The carry is the RAW input tail (nfft-hop + e0 samples, e0 =
+    taps-1 rounded up to the row width) plus the gate carries in grid
+    layout — the FIR history and the gate framing halo are recomputed
+    from raw rows in VMEM instead of being carried in the filtered
+    domain.  x is (batch..., b), b a multiple of hop; y matches.
+    """
+    x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
+    h = np.asarray(h, dtype=np.float64)
+    t = len(h)
+    check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1,
+          "nfft must be a power of two multiple of hop, > taps-1")
+    batch = x.shape[:-1]
+    b = x.shape[-1]
+    dt = x.dtype
+    d = nfft - hop
+    check(b % hop == 0 and b >= hop, f"block {b} not a multiple of hop={hop}")
+    m = b // hop
+    n1, n2 = _grid_split(nfft)
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
+    hr, nr, dr = hop // n2, nfft // n2, d // n2
+    span_r = m * hr
+    e0 = -(-(t - 1) // n2) * n2
+    e0r = e0 // n2
+    br = (nfft - e0) // n2
+    check(br >= 1, f"taps {t} leave no valid overlap-save rows at nfft={nfft}")
+    nb_os = -(-(dr + span_r) // br)
+    wrows_need = (nb_os - 1) * br + nr
+    zpad_r = max(0, wrows_need - (dr + e0r + span_r))
+
+    xf = x.reshape((-1, b))
+    bs = xf.shape[0]
+    flat = lambda a: a.reshape((bs,) + a.shape[len(batch):])
+    in_tail = flat(state["in_tail"])          # raw tail, d + e0 samples
+    fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
+    floor_sum = flat(state["gfloor_sum"])
+    ola_tail = flat(state["ola_tail"])
+    rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
+        (bs, n1, n2), dt)
+
+    # position logic (XLA) — identical to gate_step_fused
+    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
+    valid_f = (starts >= input_latency)
+    take_f = jnp.logical_and(
+        valid_f,
+        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
+        <= noise_frames,
+    )
+    ones_row = jnp.ones((1, n2), dt)
+    valid2 = valid_f.astype(dt)[:, None] * ones_row
+    take2 = take_f.astype(dt)[:, None] * ones_row
+    p0 = state["pos"] - latency - input_latency
+    pvec = p0 + jnp.arange(b, dtype=jnp.int32)
+    head = jnp.asarray(head_norm, dt)
+    const = jnp.asarray(const_norm, dt)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    inorm = (1.0 / norm).reshape(span_r, n2)
+
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
+    hg = hf.reshape(n2, n1).T
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
+        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    thresh_gain = float(10.0 ** (threshold_db / 20.0))
+    att = float(10.0 ** (-reduction_db / 20.0))
+
+    tb = int(min(batch_tile, bs))
+    bp = -(-bs // tb) * tb
+    pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
+        if bp != bs else a
+    x3 = pad_b(xf.reshape(bs, span_r, n2))
+    tail3 = pad_b(in_tail.reshape(bs, dr + e0r, n2))
+    ot3 = pad_b(ola_tail.reshape(bs, dr, n2))
+    fifo_r, fifo_i = pad_b(fifo_r), pad_b(fifo_i)
+    floor_sum, rel = pad_b(floor_sum), pad_b(rel)
+
+    bs_b = lambda shp: pl.BlockSpec(
+        (tb,) + shp[1:], (lambda i, _n=len(shp): (i,) + (0,) * (_n - 1)),
+        memory_space=pltpu.VMEM)
+    bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, _n=a.ndim: (0,) * _n),
+                                  memory_space=pltpu.VMEM)
+    ins = [tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel,
+           valid2, take2, inorm, wgrid] + tabs
+    in_specs = ([bs_b(a.shape) for a in
+                 (tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel)]
+                + [bs_c(valid2), bs_c(take2), bs_c(inorm), bs_c(wgrid)]
+                + [bs_c(t_) for t_ in tabs])
+    out_shape = (jax.ShapeDtypeStruct((bp, span_r, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, dr, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt))
+    out_specs = tuple(bs_b(s.shape) for s in out_shape)
+    y3, fro, fio, fso, oto, relo = pl.pallas_call(
+        functools.partial(_fir_gate_step_kernel, m, hr, nr, dr, br, e0r,
+                          nb_os, zpad_r, n1, n2, float(noise_frames),
+                          thresh_gain, att, float(release)),
+        grid=(bp // tb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*ins)
+
+    unb = lambda a: a[:bs].reshape(batch + a.shape[1:])
+    ext_tail = jnp.concatenate([in_tail, xf], axis=-1)[..., -(d + e0):]
+    new_state = dict(
+        in_tail=ext_tail.reshape(batch + (d + e0,)),
+        gfifo_r=unb(fro),
+        gfifo_i=unb(fio),
+        gfloor_sum=unb(fso),
+        floor_n=(state["floor_n"]
+                 + jnp.sum(take_f.astype(jnp.int32))).astype(jnp.int32),
+        ola_tail=unb(oto).reshape(batch + (d,)),
+        pos=(state["pos"] + b).astype(jnp.int32),
+    )
+    if release > 0.0:
+        new_state["grel"] = unb(relo)
+    y = unb(y3).reshape(batch + (b,))
+    return new_state, y
+
+
+def fir_gate_step_init_state(batch: tuple, nfft: int, hop: int, taps: int,
+                             noise_frames: int, release: float, dtype):
+    """Raw-tail + grid-layout carry for fir_gate_step_fused."""
+    n1, n2 = _grid_split(nfft)
+    d = nfft - hop
+    e0 = -(-(taps - 1) // n2) * n2
+    st = dict(
+        in_tail=jnp.zeros(batch + (d + e0,), dtype),
+        gfifo_r=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfifo_i=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfloor_sum=jnp.zeros(batch + (n1, n2), dtype),
+        floor_n=jnp.zeros((), jnp.int32),
+        ola_tail=jnp.zeros(batch + (d,), dtype),
+        pos=jnp.zeros((), jnp.int32),
+    )
+    if release > 0.0:
+        st["grel"] = jnp.zeros(batch + (n1, n2), dtype)
+    return st

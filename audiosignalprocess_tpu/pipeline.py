@@ -372,6 +372,106 @@ class GateStage(Stage):
 
 
 @dataclass
+class FIRGateStage(Stage):
+    """Fused FIR -> spectral-gate composite stage (the headline 48 kHz
+    chain, BASELINE.json:2) whose STREAMING step runs as ONE Pallas
+    kernel per block (kernels/chain_kernel.fir_gate_step_fused: raw-tail
+    carry, overlap-save FIR recomputed in VMEM, gate step in-register)
+    and whose whole-file path is the fused chain kernel.  Equivalent to
+    FIRStage(h, nfft) -> GateStage(nfft, hop, ...); falls back to that
+    composition (jnp) for f64 or when hop is narrower than the kernel
+    lane width."""
+
+    h: np.ndarray = None
+    nfft: int = 1024
+    hop: int = 256
+    threshold_db: float = 6.0
+    reduction_db: float = 60.0
+    noise_frames: int = 8
+    release: float = 0.0
+    window_kind: str = "hann"
+    impl: str = fft_ops.DEFAULT_IMPL
+    fused: bool = True
+    input_latency: int = 0
+
+    def __post_init__(self):
+        check(self.h is not None, "FIRGateStage requires filter taps h")
+        self.h = np.asarray(self.h, np.float64)
+        check(self.nfft % self.hop == 0, "nfft must be a multiple of hop")
+        check(self.nfft > len(self.h) - 1, "nfft must exceed taps-1")
+        self.latency = (self.nfft - self.hop) + self.noise_frames * self.hop
+        self._fir = FIRStage(h=self.h, nfft=self.nfft, impl=self.impl)
+        self._gate = GateStage(
+            nfft=self.nfft, hop=self.hop, threshold_db=self.threshold_db,
+            reduction_db=self.reduction_db, noise_frames=self.noise_frames,
+            release=self.release, window_kind=self.window_kind,
+            impl=self.impl)
+
+    def configure(self, input_latency: int) -> int:
+        check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
+        self.input_latency = input_latency
+        self._fir.configure(input_latency)
+        self._gate.configure(input_latency)
+        return input_latency + self.latency
+
+    def _fused_ok(self, dtype) -> bool:
+        from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+
+        return (self.fused and dtype != jnp.float64
+                and self.hop % _grid_split(self.nfft)[1] == 0)
+
+    def full(self, x):
+        if self._fused_ok(x.dtype):
+            from audiosignalprocess_tpu.kernels.chain_kernel import (
+                fir_noise_gate_fused,
+            )
+
+            y = fir_noise_gate_fused(
+                x, self.h, self.nfft, self.hop, self.threshold_db,
+                self.reduction_db, self.noise_frames, self.release,
+                self.window_kind)
+            pad = x.shape[-1] - y.shape[-1]
+            return jnp.concatenate(
+                [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
+        return self._gate.full(self._fir.full(x))
+
+    def init_state(self, batch, block, dtype):
+        check(block % self.hop == 0 and block >= self.hop, f"block {block} not a multiple of hop={self.hop}")
+        if self._fused_ok(dtype):
+            from audiosignalprocess_tpu.kernels.chain_kernel import (
+                fir_gate_step_init_state,
+            )
+
+            return fir_gate_step_init_state(
+                batch, self.nfft, self.hop, len(self.h), self.noise_frames,
+                self.release, dtype)
+        return [self._fir.init_state(batch, block, dtype),
+                self._gate.init_state(batch, block, dtype)]
+
+    def step(self, state, x):
+        if isinstance(state, dict) and "gfifo_r" in state:
+            from audiosignalprocess_tpu.kernels.chain_kernel import (
+                fir_gate_step_fused,
+            )
+
+            return fir_gate_step_fused(
+                x, state, self.h, nfft=self.nfft, hop=self.hop,
+                threshold_db=self.threshold_db,
+                reduction_db=self.reduction_db,
+                noise_frames=self.noise_frames, release=self.release,
+                window_kind=self.window_kind,
+                input_latency=self.input_latency, latency=self.latency,
+                head_norm=_wola_head_norm(self.nfft, self.hop,
+                                          self.window_kind),
+                const_norm=_wola_const_norm(self.nfft, self.hop,
+                                            self.window_kind))
+        sf, sg = state
+        sf, y = self._fir.step(sf, x)
+        sg, y = self._gate.step(sg, y)
+        return [sf, sg], y
+
+
+@dataclass
 class StretchStage(Stage):
     """Streaming phase-vocoder time stretch at the EXACT rational rate
     p/q (analysis frames advanced per synthesis frame; p > q speeds up).
@@ -404,6 +504,7 @@ class StretchStage(Stage):
     hop: int = 256
     window_kind: str = "hann"
     impl: str = fft_ops.DEFAULT_IMPL
+    fused: bool = False  # fused Pallas step kernel on the streaming path
     input_latency: int = 0
 
     def __post_init__(self):
@@ -467,6 +568,17 @@ class StretchStage(Stage):
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
         depth, _, _ = self._slots(m)
+        if self.fused and dtype != jnp.float64:
+            from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+            from audiosignalprocess_tpu.kernels.stretch_kernel import (
+                stretch_step_init_state,
+            )
+
+            if self.hop % _grid_split(self.nfft)[1] == 0:
+                return stretch_step_init_state(batch, self.nfft, self.hop,
+                                               depth, dtype)
+            # hop narrower than the kernel's lane width: fall through to
+            # the jnp carry (same fallback rule as GateStage)
         # everything planar (re/im): complex carries break some TPU
         # transports' jit entry signatures (see GateStage.init_state)
         return dict(
@@ -491,6 +603,22 @@ class StretchStage(Stage):
         d = self.nfft - self.hop
         dtype = x.dtype
         depth, slots, fr = self._slots(m)
+        if self.fused and "gz0r" in state:
+            # fully-fused Pallas step: frame+FFT+rotor phase+IFFT+OLA in
+            # one kernel (kernels/stretch_kernel.stretch_step_fused)
+            from audiosignalprocess_tpu.kernels.stretch_kernel import (
+                stretch_step_fused,
+            )
+
+            return stretch_step_fused(
+                x, state, nfft=self.nfft, hop=self.hop, m=m, mo=mo,
+                depth=depth, slots=slots, fracs=fr, n_skip=self.n_skip,
+                off=self.off, window_kind=self.window_kind,
+                head_norm=_wola_head_norm(self.nfft, self.hop,
+                                          self.window_kind),
+                const_norm=_wola_const_norm(self.nfft, self.hop,
+                                            self.window_kind),
+            )
         w = jnp.asarray(window_np(self.window_kind, self.nfft), dtype)
         ext = jnp.concatenate([state["in_tail"], x], axis=-1)
         frames = frame_op(ext, self.nfft, self.hop)  # (..., m, nfft)

@@ -76,6 +76,31 @@ def bench_fir_stft_chain(
         def chain(v):
             y = resample_mac(v, 160, 147, zero_phase=False)
             return fir_noise_gate_fused(y, h, 1024, 256, noise_frames=8)
+    elif fused in ("stream", "stream_jnp", "stream1"):
+        # the STREAMING path (BASELINE.json:11): lax.scan over per-block
+        # Chain.step — "stream" runs the fused Pallas step kernels
+        # (overlap_save_fused + gate_step_fused per block), "stream1" the
+        # single-kernel FIR+gate step (fir_gate_step_fused), "stream_jnp"
+        # the jnp steps, so the deltas isolate the streaming-kernel wins
+        from audiosignalprocess_tpu.pipeline import (
+            Chain, FIRGateStage, FIRStage, GateStage,
+        )
+
+        if fused == "stream1":
+            stages = [FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=8)]
+        else:
+            fs_flag = fused == "stream"
+            stages = [
+                FIRStage(h=h, nfft=1024, fused=fs_flag),
+                GateStage(nfft=1024, hop=256, noise_frames=8, fused=fs_flag),
+            ]
+        chain_obj = Chain(stages)
+        chain_obj.build()
+        block = 4096
+        n = (n // block) * block
+
+        def chain(v):
+            return chain_obj.stream(v, block)
     elif fused:  # two fused Pallas kernels
         def chain(v):
             y = overlap_save_fused(v, h, 1024)

@@ -229,3 +229,32 @@ class TestShardedStretch:
         ref = np.asarray(chain.full(jnp.asarray(x)))
         assert out.shape == ref.shape
         assert oracle.snr_db(ref + 1e-30, out + 1e-30) >= 180.0
+
+
+class TestShardedStreaming:
+    """Channel-sharded streaming: Chain.stream jitted with the batch axis
+    sharded over the channel mesh axis (DP streaming — embarrassingly
+    parallel, no collectives) equals the unsharded stream, through the
+    fused Pallas step kernels (interpret mode on CPU)."""
+
+    def test_stream_channel_sharded(self, rng):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        mesh = make_mesh(channel=8, time=1)
+        h = oracle.design_fir(64, 0.3)
+        chain = Chain([
+            FIRStage(h=h, nfft=1024, fused=True),
+            GateStage(nfft=1024, hop=256, noise_frames=4, fused=True),
+            StretchStage(p=4, q=3, nfft=1024, hop=256, fused=True),
+        ])
+        chain.build()
+        block = 4 * 16 * 256
+        x = rng.standard_normal((8, block * 4)).astype(np.float32)
+        fn = jax.jit(
+            lambda v: chain.stream(v, block),
+            in_shardings=NamedSharding(mesh, P("channel", None)),
+        )
+        out = np.asarray(fn(jnp.asarray(x)))
+        ref = np.asarray(chain.stream(jnp.asarray(x), block))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

@@ -168,6 +168,50 @@ class TestFusedStages:
                              got.astype(np.float64) + 1e-30) >= 100.0
 
 
+class TestFIRGateStage:
+    """One-kernel streaming FIR+gate (chain_kernel.fir_gate_step_fused):
+    equals the composed FIRStage -> GateStage stream, and stream == full
+    through the fused whole-file chain kernel."""
+
+    @pytest.mark.parametrize("release,taps", ((0.0, 64), (0.8, 64),
+                                              (0.0, 768)))
+    def test_matches_composed(self, rng, release, taps):
+        from audiosignalprocess_tpu.pipeline import FIRGateStage
+
+        h = oracle.design_fir(taps, 0.3 if taps == 64 else 0.2)
+        x = (0.01 * rng.standard_normal((3, 8192))).astype(np.float32)
+        x[:, 2048:6000] += np.sin(
+            2 * np.pi * 440 * np.arange(3952) / 48000).astype(np.float32)
+        comp = Chain([FIRStage(h=h, nfft=2048 if taps > 960 else 1024),
+                      GateStage(nfft=1024, hop=256, noise_frames=4,
+                                release=release)])
+        one = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4,
+                                  release=release)])
+        comp.build(); lat = one.build()
+        y_c = np.asarray(comp.stream(x, 1024))
+        y_o = np.asarray(one.stream(x, 1024))
+        assert oracle.snr_db(y_c.astype(np.float64) + 1e-30,
+                             y_o.astype(np.float64) + 1e-30) >= 100.0
+        full = np.asarray(one.full(x))
+        got = y_o[:, lat:]
+        assert oracle.snr_db(
+            full[:, : got.shape[-1]].astype(np.float64) + 1e-30,
+            got.astype(np.float64) + 1e-30) >= 100.0
+
+    def test_f64_falls_back_to_composition(self, rng):
+        from audiosignalprocess_tpu.pipeline import FIRGateStage
+
+        h = oracle.design_fir(64, 0.3)
+        x = rng.standard_normal((2, 8192))  # f64
+        one = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
+        comp = Chain([FIRStage(h=h, nfft=1024),
+                      GateStage(nfft=1024, hop=256, noise_frames=4)])
+        one.build(); comp.build()
+        np.testing.assert_allclose(np.asarray(one.stream(x, 1024)),
+                                   np.asarray(comp.stream(x, 1024)),
+                                   rtol=1e-9, atol=1e-12)
+
+
 class TestSingleTap:
     def test_single_tap_fir_stage(self, rng):
         """len(h)==1 is stateless and must stream correctly."""
@@ -281,6 +325,31 @@ class TestStretchStage:
         block = 2048
         x = rng.standard_normal((2, block * 8))
         self._compare(chain, x, block)
+
+    @pytest.mark.parametrize("p,q", ((3, 4), (147, 160)))
+    def test_fused_streaming_step(self, rng, p, q):
+        """Fused Pallas stretch step (stretch_step_fused) tracks the jnp
+        step and the whole-file path.  f32 bound is intrinsic: the rotor
+        phase accumulator is chaotic under rounding (measured jnp-f32
+        stream==full is itself ~80 dB), so the gate is 65 dB — well above
+        the 60 dB contract, far below the f64 exactness bound."""
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        m = p * max(1, 16 // p + 1)
+        block = m * 256
+        x = rng.standard_normal((2, block * 8)).astype(np.float32)
+        ref = Chain([StretchStage(p=p, q=q, nfft=1024, hop=256)])
+        fus = Chain([StretchStage(p=p, q=q, nfft=1024, hop=256, fused=True)])
+        lat = ref.build(); fus.build()
+        y_ref = np.asarray(ref.stream(x, block))
+        y_fus = np.asarray(fus.stream(x, block))
+        assert oracle.snr_db(y_ref.astype(np.float64) + 1e-30,
+                             y_fus.astype(np.float64) + 1e-30) >= 65.0
+        full = np.asarray(ref.full(x))
+        got = y_fus[..., lat:]
+        end = min(got.shape[-1], full.shape[-1]) - 2048
+        assert oracle.snr_db(full[..., :end].astype(np.float64) + 1e-30,
+                             got[..., :end].astype(np.float64) + 1e-30) >= 65.0
 
     def test_full_matches_time_stretch(self, rng):
         """StretchStage.full == effects.time_stretch at the same rational

@@ -136,6 +136,51 @@ def main():
     results["gate_step_fused"] = round(
         oracle.snr_db(rst[:, :nst], yst[:, :nst]), 1)
 
+    # one-kernel streaming FIR+gate step (pipeline.FIRGateStage):
+    # stream the same blocks, compare vs the f64 oracle chain
+    from audiosignalprocess_tpu.pipeline import FIRGateStage
+
+    fg = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
+    latf = fg.build()
+    yfg = np.asarray(jax.jit(lambda v: fg.stream(v, 1024))(xst))[:, latf:]
+    rfg = np.stack([
+        oracle.noise_gate(oracle.fir_direct(xst[i].astype(np.float64), h),
+                          noise_frames=4) for i in range(2)
+    ])
+    nfg = min(yfg.shape[-1], rfg.shape[-1])
+    results["fir_gate_step_fused"] = round(
+        oracle.snr_db(rfg[:, :nfg], yfg[:, :nfg]), 1)
+
+    # fused streaming phase-vocoder step (pipeline.StretchStage fused
+    # path) vs the jnp streaming step on the same blocks.  The rotor
+    # phase accumulator is chaotic under rounding, so the check pins
+    # BOTH sides to the same matmul precision: the jnp path is always
+    # HIGHEST, and the kernel's default bf16x3 (~109 dB/matmul) is
+    # enough for every non-recursive kernel above but diverges to
+    # ~51 dB through the rotor recursion — measured 84 dB when matched.
+    # (Implementation correctness at equal precision is pinned by
+    # tests/unit/test_pipeline.py::TestStretchStage on every CI run.)
+    from audiosignalprocess_tpu.pipeline import StretchStage
+
+    prev_mode = os.environ.get("ASP_MATMUL_MODE")
+    os.environ["ASP_MATMUL_MODE"] = "highest"
+    try:
+        xpv = rng.standard_normal((2, 2048 * 6)).astype(np.float32)
+        sref = Chain([StretchStage(p=4, q=3, nfft=1024, hop=256)])
+        sfus = Chain([StretchStage(p=4, q=3, nfft=1024, hop=256,
+                                   fused=True)])
+        sref.build(); sfus.build()
+        ypr = np.asarray(jax.jit(lambda v: sref.stream(v, 2048))(xpv))
+        ypf = np.asarray(jax.jit(lambda v: sfus.stream(v, 2048))(xpv))
+        results["stretch_step_fused"] = round(
+            oracle.snr_db(ypr.astype(np.float64) + 1e-30,
+                          ypf.astype(np.float64) + 1e-30), 1)
+    finally:
+        if prev_mode is None:
+            os.environ.pop("ASP_MATMUL_MODE", None)
+        else:
+            os.environ["ASP_MATMUL_MODE"] = prev_mode
+
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
     print(json.dumps(results))
