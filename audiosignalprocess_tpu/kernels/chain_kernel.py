@@ -33,6 +33,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    hbm_fetch_rows,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
     floor_grid, inv_norm_rows, ola_rows,
@@ -104,8 +105,9 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
     j = pl.program_id(1)
     tb = o_ref.shape[0]
     span_r = mf * hr
-    # raw rows needed: [j*span_r - e0r ... j*span_r + (nb_os-1)*br + n1)
-    wrows = (nb_os - 1) * br + n1
+    # raw rows needed: [j*span_r - e0r ... j*span_r + (nb_os-1)*br + n1),
+    # rounded for HBM DMA row alignment (win's scratch shape)
+    wrows = win.shape[2]
 
     def fetch(slot, jj):
         return pltpu.make_async_copy(
@@ -198,7 +200,9 @@ def fir_noise_gate_fused(
     floor = floor_grid(prof, n1, n2, dt)
 
     # ---- input prefix: e0 samples (zeros + causal FIR history semantics)
-    need = total_f * hop + d + (nb_os - 1) * b + nfft  # generous
+    wfetch = hbm_fetch_rows((nb_os - 1) * br + nr, n2)
+    # cover the last (row-aligned) DMA window, plus slack
+    need = ((nt - 1) * span_r + wfetch) * n2 + nfft
     xp = jnp.concatenate([
         jnp.zeros((bs, e0), dt), xf,
         jnp.zeros((bs, max(0, need - n)), dt),
@@ -226,7 +230,6 @@ def fir_noise_gate_fused(
            thresh_gain, att, nframes, float(release))
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, j: (0,) * a.ndim),
                                   memory_space=pltpu.VMEM)
-    wrows = (nb_os - 1) * br + n1
     y = pl.pallas_call(
         functools.partial(_chain_kernel, cfg),
         grid=(bp // tb, nt),
@@ -241,7 +244,7 @@ def fir_noise_gate_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, total_f * hr, n2), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, wrows, n2), dt),
+            pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
             pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
             pltpu.SemaphoreType.DMA((2,)),

@@ -155,8 +155,27 @@ def _grid_split(n: int) -> tuple[int, int]:
         n2 = int(o)
         check(n % n2 == 0 and n2 & (n2 - 1) == 0,
               f"ASP_GRID_N2={n2} must be a power-of-two divisor of {n}")
+        if n2 < 128 and not _interpret():
+            raise ValueError(
+                f"ASP_GRID_N2={n2} < 128 cannot run on TPU hardware: "
+                "row-space HBM arrays are 128-lane tiled and Mosaic "
+                "cannot DMA-slice a narrower lane dim. Use n2 >= 128 "
+                "(or interpret mode).")
         return n // n2, n2
     return _split_n(n)
+
+
+def hbm_fetch_rows(rows: int, n2: int) -> int:
+    """DMA row-window size for a row-space HBM fetch of ``rows`` rows.
+
+    Arrays whose lane dim exceeds 128 are (8, 128)-tiled in HBM, so DMA
+    slice sizes (and starts) along the row axis must be 8-aligned; at
+    exactly 128 lanes the (1, 128) tiling imposes nothing.  Rounding the
+    fetch up is harmless — kernels read only the rows they need — as
+    long as the caller pads the source array to cover the largest fetch.
+    (Row starts are the callers' span_r/s5 strides, kept 8-aligned by
+    their own tile-count alignment.)"""
+    return rows if n2 <= 128 else -(-rows // 8) * 8
 
 
 @functools.lru_cache(maxsize=None)

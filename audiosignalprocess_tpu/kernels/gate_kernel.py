@@ -36,6 +36,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    hbm_fetch_rows,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
@@ -110,7 +111,7 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
     j = pl.program_id(1)
     tb = o_ref.shape[0]
     span_r = mf * hr
-    wrows = span_r + dr
+    wrows = win.shape[2]  # span_r + dr rounded for HBM DMA row alignment
 
     def fetch(slot, jj):
         return pltpu.make_async_copy(
@@ -210,8 +211,10 @@ def noise_gate_fused(
     # (span-aligned) output array: total_f*hop >= F*hop + d
     nt = -(-(nframes + nfft // hop - 1) // mf)
     total_f = nt * mf
+    wfetch = hbm_fetch_rows(mf * hr + dr, n2)
     # pad input so every padded frame exists (zero frames mask to zero)
-    need = total_f * hop + d
+    # and the last (row-aligned) DMA window is in bounds
+    need = ((nt - 1) * mf * hr + wfetch) * n2
     xp = jnp.concatenate([xf, jnp.zeros((b, max(0, need - n)), dt)], axis=-1)
     tb = int(min(batch_tile, b))
     bp = -(-b // tb) * tb
@@ -248,7 +251,7 @@ def noise_gate_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, total_f * hr, n2), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, span_r + dr, n2), dt),
+            pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
             pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
             pltpu.SemaphoreType.DMA((2,)),

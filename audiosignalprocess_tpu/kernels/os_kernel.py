@@ -21,6 +21,7 @@ causal FIR, output length == input length).
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -33,6 +34,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    hbm_fetch_rows,
 )
 from audiosignalprocess_tpu.utils.validate import check
 
@@ -47,7 +49,7 @@ def _os_kernel(nfft, br, e0r, nb, nt, n1, n2,
     j = pl.program_id(1)
     tb = o_ref.shape[0]
     span_r = nb * br
-    wrows = span_r + (n1 - br)  # last block in the span still needs n1 rows
+    wrows = win.shape[2]  # span_r + (n1-br) rounded for HBM DMA alignment
 
     def fetch(slot, jj):
         return pltpu.make_async_copy(
@@ -114,18 +116,24 @@ def overlap_save_fused(
     dt = x.dtype
 
     nb = int(blocks_per_step)
+    if n2 > 128:
+        # HBM DMA slice starts (j * nb * br rows) must be 8-aligned for
+        # lane dims beyond the 128 base tile (see hbm_fetch_rows)
+        a = 8 // math.gcd(br, 8)
+        nb = -(-nb // a) * a
     nblocks = -(-n // b)
     nt = -(-nblocks // nb)
     span = nb * b
     total = nt * span
+    wfetch = hbm_fetch_rows(nb * br + (n1 - br), n2)
     if history is None:
         hist = jnp.zeros((bsz, t - 1), dt)
     else:
         hist = jnp.asarray(history).reshape((bsz, t - 1)).astype(dt)
     # prefix = e0 samples: (e0 - (t-1)) zeros then the true history
     pre = jnp.zeros((bsz, e0 - (t - 1)), dt)
-    # right-pad so the final span's window (span + nfft - b) is in bounds
-    rpad = total + (nfft - b) - n
+    # right-pad so the final span's (row-aligned) DMA window is in bounds
+    rpad = (nt - 1) * span + wfetch * n2 - n
     xp = jnp.concatenate(
         [pre, hist, xf, jnp.zeros((bsz, max(0, rpad)), dt)], axis=-1
     )
@@ -160,7 +168,7 @@ def overlap_save_fused(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, nt * nb, br, n2), dt),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, nb * br + (n1 - br), n2), dt),
+            pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
