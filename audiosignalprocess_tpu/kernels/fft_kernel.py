@@ -635,7 +635,14 @@ def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 # ---------------------------------------------------------------------------
 
 
-def _stockham_stages(xr, xi, n, sign):
+def _sk_radix() -> int:
+    """Stockham stage radix: 4 (default; half the VMEM passes of radix-2,
+    same multiply count) or 2 (ASP_SK_RADIX=2, the reference recurrence
+    kept for A/B benchmarking)."""
+    return int(os.environ.get("ASP_SK_RADIX", "4"))
+
+
+def _stockham_stages_r2(xr, xi, n, sign):
     """All log2(n) self-sorting Stockham butterfly stages on (n, L)
     sublane-major planes (transform on sublanes, batch on lanes).
 
@@ -663,6 +670,79 @@ def _stockham_stages(xr, xi, n, sign):
         xr = jnp.concatenate([ur + vr, ur - vr], axis=0).reshape(n, L)
         xi = jnp.concatenate([ui + vi, ui - vi], axis=0).reshape(n, L)
         Lt, R = 2 * Lt, h
+    return xr, xi
+
+
+def _stockham_stages(xr, xi, n, sign):
+    """Self-sorting Stockham stages, radix-4 with a radix-2 tail.
+
+    Two consecutive radix-2 Stockham stages starting at view (Lt, R, L)
+    compose exactly into one radix-4 stage: with quarters a0..a3 of the
+    R axis and w = e^{sign*i*pi*l/(2*Lt)} (l the Lt index),
+
+        e, f = a0 +- w^2 a2      g, h = a1 +- w^2 a3
+        A' = concat([e + w g,  f + s w h,  e - w g,  f - s w h])
+
+    (s = sign*i, a free real/imag swap).  Same multiply count as the
+    radix-2 pair, HALF the full-array VMEM read/write passes — the
+    stage loop is VMEM-bandwidth-bound, not FLOP-bound (docs/PERF.md).
+    Stage order is unchanged, so the result is the radix-2 recurrence's
+    bit-for-bit reassociation; the final stage falls back to radix-2
+    when log2(n) is odd."""
+    if _sk_radix() == 2:
+        return _stockham_stages_r2(xr, xi, n, sign)
+    L = xr.shape[-1]
+    stages = n.bit_length() - 1
+    Lt, R = 1, n
+    while R >= 4:
+        q = R // 4
+        ar = xr.reshape(Lt, R, L)
+        ai = xi.reshape(Lt, R, L)
+        a0r, a1r, a2r, a3r = (ar[:, k * q : (k + 1) * q] for k in range(4))
+        a0i, a1i, a2i, a3i = (ai[:, k * q : (k + 1) * q] for k in range(4))
+        if Lt > 1:
+            l = jax.lax.broadcasted_iota(jnp.int32, (Lt, 1, 1), 0).astype(
+                xr.dtype)
+            th = (sign * np.pi / (2 * Lt)) * l
+            wc, ws = jnp.cos(th), jnp.sin(th)
+            w2c, w2s = jnp.cos(2.0 * th), jnp.sin(2.0 * th)
+            t2r = a2r * w2c - a2i * w2s
+            t2i = a2r * w2s + a2i * w2c
+            t3r = a3r * w2c - a3i * w2s
+            t3i = a3r * w2s + a3i * w2c
+        else:
+            t2r, t2i, t3r, t3i = a2r, a2i, a3r, a3i
+        er, ei = a0r + t2r, a0i + t2i
+        fr, fi = a0r - t2r, a0i - t2i
+        gr, gi = a1r + t3r, a1i + t3i
+        hr, hi = a1r - t3r, a1i - t3i
+        if Lt > 1:
+            wgr = gr * wc - gi * ws
+            wgi = gr * ws + gi * wc
+            # s*w*h with s = sign*i: (swh)_re = -sign*(wh)_im, etc.
+            whr = hr * wc - hi * ws
+            whi = hr * ws + hi * wc
+        else:
+            wgr, wgi, whr, whi = gr, gi, hr, hi
+        swhr, swhi = (-whi, whr) if sign > 0 else (whi, -whr)
+        xr = jnp.concatenate(
+            [er + wgr, fr + swhr, er - wgr, fr - swhr], axis=0).reshape(n, L)
+        xi = jnp.concatenate(
+            [ei + wgi, fi + swhi, ei - wgi, fi - swhi], axis=0).reshape(n, L)
+        Lt, R = 4 * Lt, q
+    if R == 2:
+        ar = xr.reshape(Lt, 2, L)
+        ai = xi.reshape(Lt, 2, L)
+        ur, ui = ar[:, :1], ai[:, :1]
+        vr, vi = ar[:, 1:], ai[:, 1:]
+        if Lt > 1:
+            l = jax.lax.broadcasted_iota(jnp.int32, (Lt, 1, 1), 0).astype(
+                xr.dtype)
+            ang = (sign * np.pi / Lt) * l
+            wc, ws = jnp.cos(ang), jnp.sin(ang)
+            vr, vi = vr * wc - vi * ws, vr * ws + vi * wc
+        xr = jnp.concatenate([ur + vr, ur - vr], axis=0).reshape(n, L)
+        xi = jnp.concatenate([ui + vi, ui - vi], axis=0).reshape(n, L)
     return xr, xi
 
 

@@ -513,6 +513,24 @@ class StretchStage(Stage):
         self.q //= g
         check(self.nfft % self.hop == 0, "nfft must be a multiple of hop")
 
+    @classmethod
+    def from_rate(cls, rate: float, max_den: int = 64, **kw) -> "StretchStage":
+        """Streaming stage for an arbitrary (incl. irrational) float rate.
+
+        Streaming requires a rational p/q (static per-block frame counts);
+        this picks the continued-fraction best approximation with
+        denominator <= max_den — the rate error is < 1/(q*max_den), i.e.
+        < 2.5e-4 at the default (inaudible next to the vocoder's own
+        granularity; one synthesis frame drifts < hop/2 only after
+        ~q*max_den frames).  Whole-file exact-float-rate processing is
+        effects.time_stretch / pitch_shift."""
+        from fractions import Fraction
+
+        check(rate > 0 and math.isfinite(rate), "rate must be finite and > 0")
+        f = Fraction(rate).limit_denominator(max_den)
+        check(f.numerator > 0, f"rate {rate} too small for max_den={max_den}")
+        return cls(p=f.numerator, q=f.denominator, **kw)
+
     def configure(self, input_latency: int) -> int:
         check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
         self.input_latency = input_latency

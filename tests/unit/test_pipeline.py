@@ -301,6 +301,28 @@ class TestStretchStage:
         x = rng.standard_normal((2, block * 8))
         self._compare(chain, x, block)
 
+    def test_from_rate_exact_and_irrational(self, rng):
+        """from_rate: exact rationals pass through; irrational rates get
+        the continued-fraction best approximation within the error bound,
+        and the resulting stage streams == full like any rational stage."""
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        st = StretchStage.from_rate(0.75, nfft=1024, hop=256)
+        assert (st.p, st.q) == (3, 4)
+
+        rate = 2.0 ** (1.0 / 3.0)  # irrational: 4-semitone tempo ratio
+        st = StretchStage.from_rate(rate, max_den=64, nfft=256, hop=64)
+        assert st.q <= 64 and abs(st.p / st.q - rate) < 1.0 / (st.q * 64)
+
+        chain = Chain([st])
+        m = st.p * max(1, 16 // st.p + 1)
+        block = m * 64
+        x = rng.standard_normal((2, block * 8))
+        self._compare(chain, x, block)
+
+        with pytest.raises(ValueError):
+            StretchStage.from_rate(0.0)
+
     def test_after_gate(self, rng):
         """Stretch downstream of a latency-producing stage."""
         from audiosignalprocess_tpu.pipeline import StretchStage
