@@ -32,6 +32,9 @@ def read_wav(path: str, dtype=np.float32) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (planar array (channels, frames) in [-1, 1], rate)."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:4] == b"RF64":
+        # 64-bit RIFF (>4 GB WAV): sizes live in a ds64 chunk; out of scope
+        raise ValueError(f"{path}: RF64 (64-bit WAV) is not supported")
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
@@ -71,6 +74,9 @@ def read_wav(path: str, dtype=np.float32) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
     elif tag == _FLOAT and bits == 64:
         x = np.frombuffer(raw, dtype="<f8").astype(np.float64)
+    elif tag == _PCM and bits == 8:
+        # 8-bit PCM is unsigned with a 128 offset (RIFF legacy convention)
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     elif tag == _PCM and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif tag == _PCM and bits == 32:
@@ -116,6 +122,9 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 16,
             .astype("<i4")
             .tobytes()
         )
+        tag = _PCM
+    elif bits == 8:
+        body = (np.clip(np.round(inter * 128.0), -128, 127) + 128).astype(np.uint8).tobytes()
         tag = _PCM
     elif bits == 24:
         v = np.clip(np.round(inter * 8388608.0), -(1 << 23), (1 << 23) - 1).astype(np.int32)

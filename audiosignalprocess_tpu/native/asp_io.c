@@ -111,6 +111,8 @@ long asp_wav_read(const char *path, float *out, long max_frames) {
                 float v;
                 if (info.float_fmt && info.bits == 32) {
                     float fv; memcpy(&fv, p, 4); v = fv;
+                } else if (info.bits == 8) {
+                    v = ((float)p[0] - 128.0f) / 128.0f;
                 } else if (info.bits == 16) {
                     int16_t s = (int16_t)rd_u16(p);
                     v = (float)s / 32768.0f;
@@ -199,6 +201,8 @@ long asp_wav_read_block(void *h, float *out, long frames) {
             float v;
             if (info->float_fmt && info->bits == 32) {
                 float fv; memcpy(&fv, p, 4); v = fv;
+            } else if (info->bits == 8) {
+                v = ((float)p[0] - 128.0f) / 128.0f;
             } else if (info->bits == 16) {
                 int16_t s = (int16_t)rd_u16(p);
                 v = (float)s / 32768.0f;

@@ -123,3 +123,87 @@ def test_malformed_headers_raise(tmp_path, mutate, match):
     open(p, "wb").write(bytes(blob))
     with pytest.raises(ValueError, match=match):
         read_wav(p)
+
+
+def test_pcm8_roundtrip(tmp_path):
+    """8-bit PCM: unsigned, 128 offset (RIFF legacy convention)."""
+    x = np.clip(RNG.standard_normal((2, 500)) * 0.3, -1, 1).astype(np.float32)
+    p = str(tmp_path / "u8.wav")
+    write_wav(p, x, 22050, bits=8)
+    y, rate = read_wav(p)
+    assert rate == 22050 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=2 ** -7 * 1.01)
+    # silence encodes exactly to the 128 midpoint
+    write_wav(p, np.zeros((1, 10), np.float32), 8000, bits=8)
+    blob = open(p, "rb").read()
+    assert blob[-10:] == b"\x80" * 10
+
+
+def test_pcm8_native_parity(tmp_path):
+    """Native C decoder matches the numpy reader on PCM8."""
+    from audiosignalprocess_tpu.io import wav_native
+
+    x = np.clip(RNG.standard_normal((2, 300)) * 0.4, -1, 1).astype(np.float32)
+    p = str(tmp_path / "u8n.wav")
+    write_wav(p, x, 16000, bits=8)
+    ypy, _ = read_wav(p)
+    ync, rate = wav_native.read_wav(p)
+    assert rate == 16000
+    np.testing.assert_allclose(ync, ypy, atol=1e-7)
+
+
+def test_rf64_raises(tmp_path):
+    p = str(tmp_path / "r.wav")
+    write_wav(p, np.zeros(16, np.float32), 8000)
+    blob = bytearray(open(p, "rb").read())
+    blob[:4] = b"RF64"
+    open(p, "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="RF64"):
+        read_wav(p)
+
+
+def test_chunks_before_fmt_and_cbsize(tmp_path):
+    """Writers that emit LIST/JUNK chunks ahead of fmt, a size-18 fmt
+    chunk (cbSize=0), and pad bytes all parse to the same audio."""
+    import struct
+
+    x = np.linspace(-0.5, 0.5, 64).astype(np.float32)
+    p = str(tmp_path / "multi.wav")
+    write_wav(p, x, 8000, bits=16)
+    blob = open(p, "rb").read()
+    fmt_chunk = blob[12:36]          # "fmt " + size16 + body
+    data_chunk = blob[36:]
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # odd + pad
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    # size-18 fmt (cbSize = 0 appended)
+    fmt18 = b"fmt " + struct.pack("<I", 18) + fmt_chunk[8:] + b"\x00\x00"
+    body = junk + lst + fmt18 + data_chunk
+    out = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    open(p, "wb").write(out)
+    y, rate = read_wav(p)
+    assert rate == 8000 and y.shape == (1, 64)
+    np.testing.assert_allclose(y[0], x, atol=1e-4)
+
+
+def test_extensible_float_subformat(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE wrapping IEEE float32."""
+    import struct
+
+    x = (np.sin(np.arange(100) * 0.2) * 0.7).astype(np.float32)
+    p = str(tmp_path / "extf.wav")
+    write_wav(p, x, 48000, bits=32, float_fmt=True)
+    blob = open(p, "rb").read()
+    base = blob[20:36]               # 16-byte fmt body (tag=3)
+    ext = struct.pack("<HHI", 22, 32, 4)  # cbSize, validBits, channel mask
+    guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+         0x00, 0x38, 0x9B, 0x71])
+    fmt_body = struct.pack("<H", 0xFFFE) + base[2:] + ext + guid
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    data_chunk = blob[36:]
+    body = fmt_chunk + data_chunk
+    out = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    open(p, "wb").write(out)
+    y, rate = read_wav(p)
+    assert rate == 48000
+    np.testing.assert_allclose(y[0], x, atol=1e-7)
