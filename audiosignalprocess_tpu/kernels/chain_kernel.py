@@ -273,19 +273,25 @@ def fir_noise_gate_fused(
 # streaming (oracle-pinned).
 
 
-def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
-                          nf, thresh_gain, att, release,
-                          tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
-                          rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                          c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                          y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
-                          relo_ref):
-    tb = x_ref.shape[0]
-    pieces = [tail_ref[:], x_ref[:]]
+def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                       nf, thresh_gain, att, release,
+                       xrows,
+                       tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                       c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                       relo_ref):
+    """Shared streaming FIR->gate step body on in-VMEM raw rows.
+
+    xrows: (tb, m*hr, n2) this block's raw (pre-FIR) rows.  Used by the
+    FIR+gate step kernel (rows DMA'd as an input) and the resample+FIR+
+    gate step kernel (rows produced in-kernel by the phase matmuls)."""
+    tb = xrows.shape[0]
+    pieces = [tail_ref[:], xrows]
     if zpad_r:
         # zero future rows: the OS valid region only uses causal taps, so
         # outputs at in-block positions are exact (see wrapper notes)
-        pieces.append(jnp.zeros((tb, zpad_r, n2), x_ref.dtype))
+        pieces.append(jnp.zeros((tb, zpad_r, n2), xrows.dtype))
     w3 = jnp.concatenate(pieces, axis=1)
     # ---- FIR: overlap-save over nb_os blocks at row hop br
     blocks = jnp.stack([w3[:, k * br : k * br + nr, :] for k in range(nb_os)],
@@ -333,6 +339,23 @@ def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
     oto_ref[:] = ot_ref[:]
     emit = ola_rows(y, oto_ref, m, hr, dr, n2)
     y_ref[:] = emit * inorm_ref[:][None]
+
+
+def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                          nf, thresh_gain, att, release,
+                          tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                          rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                          c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                          y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                          relo_ref):
+    fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                       nf, thresh_gain, att, release,
+                       x_ref[:],
+                       tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                       c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                       relo_ref)
 
 
 def fir_gate_step_fused(

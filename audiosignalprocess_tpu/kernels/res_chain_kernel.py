@@ -318,3 +318,279 @@ def resample_fir_gate_fused(
     )(v5, floor, wgrid, inv_norm, *tabs, m5)
     out = y.reshape(bp, total_f * hop)[:bs, :out_len]
     return out.reshape(batch + (out_len,))
+
+
+# ---------------------------------------------------------------------------
+# streaming step: resample + FIR + gate per block, ONE kernel (P5)
+# ---------------------------------------------------------------------------
+
+
+def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
+                              zpad_r, n1, n2, nf, thresh_gain, att, release,
+                              v_ref, tail_ref, fr_ref, fi_ref, fs_ref,
+                              ot_ref, rel_ref, valid_ref, take_ref,
+                              inorm_ref, wgrid,
+                              c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
+                              y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                              relo_ref, tailo_ref):
+    """Resample prologue (supercycle phase matmuls) + shared FIR->gate
+    step body.  v_ref: (tb, T5b, W5p) raw input windows; the resampled
+    rows never touch HBM."""
+    from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
+
+    tb = v_ref.shape[0]
+    v = v_ref[:]
+    dn = (((2,), (0,)), ((), ()))
+    acc = y_ref.dtype
+    if m5.dtype == jnp.bfloat16:
+        vh = v.astype(jnp.bfloat16)
+        vl = (v - vh.astype(v.dtype)).astype(jnp.bfloat16)
+
+        def mm(q):
+            d = lambda p, t: jax.lax.dot_general(
+                p, t, dimension_numbers=dn, preferred_element_type=acc)
+            return d(vh, m5[0, q]) + d(vh, m5[1, q]) + d(vl, m5[0, q])
+    else:
+        def mm(q):
+            return jax.lax.dot_general(
+                v, m5[q], dimension_numbers=dn, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST)
+
+    rows4 = jnp.stack([mm(q) for q in range(r5)], axis=2)  # (tb,T5b,r5,n2)
+    xrows = rows4.reshape(tb, t5b * r5, n2)  # == this block's resampled rows
+    tailo_ref[:] = jnp.concatenate([tail_ref[:], xrows],
+                                   axis=1)[:, -(dr + e0r):]
+    fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                       nf, thresh_gain, att, release,
+                       xrows,
+                       tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                       c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                       relo_ref)
+
+
+def res_step_geometry(h_res, up: int, down: int, nfft: int, hop: int):
+    """(D5, lcm): streaming block quantum in raw samples and the
+    resampled samples it emits (block must be a multiple of D5 with the
+    emitted length a multiple of hop)."""
+    n1, n2 = _grid_split(nfft)
+    lcm = _lcm(up, n2)
+    return (lcm // up) * down, lcm
+
+
+def res_fir_gate_step_init_state(batch: tuple, up: int, down: int,
+                                 h_res, nfft: int, hop: int, taps: int,
+                                 noise_frames: int, release: float, dtype):
+    """res_hist (raw domain) + the FIR+gate step carry (resampled domain,
+    in_tail carried in grid row layout)."""
+    from audiosignalprocess_tpu.ops.resample import history_len
+
+    n1, n2 = _grid_split(nfft)
+    d = nfft - hop
+    e0 = -(-(taps - 1) // n2) * n2
+    hn = history_len(len(np.asarray(h_res)), up, down)
+    st = dict(
+        res_hist=jnp.zeros(batch + (hn,), dtype),
+        in_tail=jnp.zeros(batch + ((d + e0) // n2, n2), dtype),
+        gfifo_r=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfifo_i=jnp.zeros(batch + (noise_frames, n1, n2), dtype),
+        gfloor_sum=jnp.zeros(batch + (n1, n2), dtype),
+        floor_n=jnp.zeros((), jnp.int32),
+        ola_tail=jnp.zeros(batch + (d,), dtype),
+        pos=jnp.zeros((), jnp.int32),
+    )
+    if release > 0.0:
+        st["grel"] = jnp.zeros(batch + (n1, n2), dtype)
+    return st
+
+
+def res_fir_gate_step_fused(
+    x: jnp.ndarray,
+    state: dict,
+    up: int,
+    down: int,
+    h_fir,
+    h_res=None,
+    *,
+    nfft: int,
+    hop: int,
+    threshold_db: float,
+    reduction_db: float,
+    noise_frames: int,
+    release: float,
+    window_kind: str,
+    input_latency: int,
+    latency: int,
+    head_norm: np.ndarray,
+    const_norm: float,
+    batch_tile: int = 8,
+):
+    """Fused streaming step: raw block -> resample(up/down) -> overlap-
+    save FIR -> spectral gate, ONE Pallas kernel per block.
+
+    == ResampleStage.step -> FIRGateStage.step composed (same carries in
+    the resampled domain; the resampled signal never round-trips HBM).
+    x is (batch..., b_in); b_in must be a multiple of the supercycle
+    quantum D5 (res_step_geometry) with b_in*up/down a multiple of hop.
+    ``input_latency``/``latency``/``state["pos"]`` are in RESAMPLED
+    samples (the gate's domain), matching FIRGateStage.step.
+    """
+    from audiosignalprocess_tpu.ops.resample import history_len
+
+    g = gcd(up, down)
+    up, down = up // g, down // g
+    x = jnp.asarray(x)
+    check_kernel_dtype(x.dtype)
+    if h_res is None:
+        h_res = oracle.resample_filter(up, down)
+    h_res = np.asarray(h_res, dtype=np.float64)
+    h = np.asarray(h_fir, dtype=np.float64)
+    t = len(h)
+    check(nfft % hop == 0 and nfft & (nfft - 1) == 0 and nfft > t - 1,
+          "nfft must be a power of two multiple of hop, > taps-1")
+    batch = x.shape[:-1]
+    b_in = x.shape[-1]
+    dt = x.dtype
+    d = nfft - hop
+    n1, n2 = _grid_split(nfft)
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
+    lcm = _lcm(up, n2)
+    r5 = lcm // n2
+    c5 = lcm // up
+    d5 = c5 * down
+    check(b_in % d5 == 0 and b_in >= d5,
+          f"block {b_in} not a multiple of the supercycle quantum {d5}")
+    t5b = b_in // d5
+    b_out = t5b * lcm
+    check(b_out % hop == 0,
+          f"resampled block {b_out} not a multiple of hop={hop}")
+    m = b_out // hop
+    hr, nr, dr = hop // n2, nfft // n2, d // n2
+    span_r = m * hr
+    e0 = -(-(t - 1) // n2) * n2
+    e0r = e0 // n2
+    br = (nfft - e0) // n2
+    check(br >= 1, f"taps {t} leave no valid overlap-save rows at nfft={nfft}")
+    nb_os = -(-(dr + span_r) // br)
+    wrows_need = (nb_os - 1) * br + nr
+    zpad_r = max(0, wrows_need - (dr + e0r + span_r))
+
+    xf = x.reshape((-1, b_in))
+    bs = xf.shape[0]
+    flat = lambda a: a.reshape((bs,) + a.shape[len(batch):])
+
+    # ---- resampler windows: xin[tau*D5 : tau*D5 + W5p] per supercycle
+    m5_np, base, w5 = _row_phase_matrices(tuple(h_res.tolist()), up, down, n2)
+    w5p = -(-w5 // 128) * 128
+    hn = history_len(len(h_res), up, down)
+    check(-base == hn, "internal: phase-matrix base != -history_len")
+    res_hist = flat(state["res_hist"])
+    check(res_hist.shape[-1] == hn, f"res_hist must hold {hn} raw samples")
+    need = (t5b - 1) * d5 + w5p
+    xin = jnp.concatenate(
+        [res_hist, xf,
+         jnp.zeros((bs, max(0, need - hn - b_in)), dt)], axis=-1)
+    v = jnp.stack([xin[:, tau * d5 : tau * d5 + w5p] for tau in range(t5b)],
+                  axis=1)  # (bs, T5b, W5p)
+
+    # ---- gate-side carries and masks (identical to fir_gate_step_fused)
+    in_tail = flat(state["in_tail"])          # (bs, dr+e0r, n2) grid rows
+    fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
+    floor_sum = flat(state["gfloor_sum"])
+    ola_tail = flat(state["ola_tail"])
+    rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
+        (bs, n1, n2), dt)
+    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
+    valid_f = (starts >= input_latency)
+    take_f = jnp.logical_and(
+        valid_f,
+        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
+        <= noise_frames,
+    )
+    ones_row = jnp.ones((1, n2), dt)
+    valid2 = valid_f.astype(dt)[:, None] * ones_row
+    take2 = take_f.astype(dt)[:, None] * ones_row
+    p0 = state["pos"] - latency - input_latency
+    pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
+    head = jnp.asarray(head_norm, dt)
+    const = jnp.asarray(const_norm, dt)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    inorm = (1.0 / norm).reshape(span_r, n2)
+
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
+    hg = hf.reshape(n2, n1).T
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
+        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    if _use_bf16x3(dt):
+        m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)], axis=1)
+        m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
+        m5 = jnp.asarray(m5s, jnp.bfloat16)
+    else:
+        m5 = jnp.asarray(np.pad(m5_np, ((0, 0), (0, w5p - w5), (0, 0))), dt)
+    thresh_gain = float(10.0 ** (threshold_db / 20.0))
+    att = float(10.0 ** (-reduction_db / 20.0))
+
+    tb = int(min(batch_tile, bs))
+    bp = -(-bs // tb) * tb
+    pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
+        if bp != bs else a
+    v = pad_b(v)
+    tail3 = pad_b(in_tail)
+    ot3 = pad_b(ola_tail.reshape(bs, dr, n2))
+    fifo_r, fifo_i = pad_b(fifo_r), pad_b(fifo_i)
+    floor_sum, rel = pad_b(floor_sum), pad_b(rel)
+
+    bs_b = lambda shp: pl.BlockSpec(
+        (tb,) + shp[1:], (lambda i, _n=len(shp): (i,) + (0,) * (_n - 1)),
+        memory_space=pltpu.VMEM)
+    bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, _n=a.ndim: (0,) * _n),
+                                  memory_space=pltpu.VMEM)
+    ins = [v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel,
+           valid2, take2, inorm, wgrid] + tabs + [m5]
+    in_specs = ([bs_b(a.shape) for a in
+                 (v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel)]
+                + [bs_c(valid2), bs_c(take2), bs_c(inorm), bs_c(wgrid)]
+                + [bs_c(t_) for t_ in tabs] + [bs_c(m5)])
+    out_shape = (jax.ShapeDtypeStruct((bp, span_r, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, dr, n2), dt),
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt),
+                 jax.ShapeDtypeStruct((bp, dr + e0r, n2), dt))
+    out_specs = tuple(bs_b(s.shape) for s in out_shape)
+    y3, fro, fio, fso, oto, relo, tailo = pl.pallas_call(
+        functools.partial(_res_fir_gate_step_kernel, t5b, r5, m, hr, nr,
+                          dr, br, e0r, nb_os, zpad_r, n1, n2,
+                          float(noise_frames), thresh_gain, att,
+                          float(release)),
+        grid=(bp // tb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*ins)
+
+    unb = lambda a: a[:bs].reshape(batch + a.shape[1:])
+    new_hist = jnp.concatenate([res_hist, xf], axis=-1)[..., -hn:]
+    new_state = dict(
+        res_hist=new_hist.reshape(batch + (hn,)),
+        in_tail=unb(tailo),
+        gfifo_r=unb(fro),
+        gfifo_i=unb(fio),
+        gfloor_sum=unb(fso),
+        floor_n=(state["floor_n"]
+                 + jnp.sum(take_f.astype(jnp.int32))).astype(jnp.int32),
+        ola_tail=unb(oto).reshape(batch + (d,)),
+        pos=(state["pos"] + b_out).astype(jnp.int32),
+    )
+    if release > 0.0:
+        new_state["grel"] = unb(relo)
+    y = unb(y3).reshape(batch + (b_out,))
+    return new_state, y

@@ -472,6 +472,134 @@ class FIRGateStage(Stage):
 
 
 @dataclass
+class ResFIRGateStage(Stage):
+    """Fused resample -> FIR -> spectral-gate composite (the config-5
+    front half, BASELINE.json:11) whose STREAMING step runs as ONE
+    Pallas kernel per block (kernels/res_chain_kernel.
+    res_fir_gate_step_fused: supercycle phase matmuls feed the shared
+    FIR->gate step body; the resampled signal never round-trips HBM)
+    and whose whole-file path is the fused res_chain kernel.  Equivalent
+    to ResampleStage(up, down) -> FIRGateStage(h, nfft, hop, ...); falls
+    back to that composition (separate kernels) for f64, misaligned
+    blocks, or hop narrower than the kernel lane width.
+
+    Note on hardware choice: on the time-shared bench chip the dense
+    phase-matrix resampler is MXU-bound and the two-kernel split is
+    faster (docs/PERF.md res_chain vs res_two) — this stage is the
+    one-kernel-per-block design point for full-speed hardware.
+    """
+
+    up: int = 160
+    down: int = 147
+    h: np.ndarray = None
+    h_res: np.ndarray | None = None
+    nfft: int = 1024
+    hop: int = 256
+    threshold_db: float = 6.0
+    reduction_db: float = 60.0
+    noise_frames: int = 8
+    release: float = 0.0
+    window_kind: str = "hann"
+    impl: str = fft_ops.DEFAULT_IMPL
+    fused: bool = True
+    input_latency: int = 0
+
+    def __post_init__(self):
+        check(self.h is not None, "ResFIRGateStage requires filter taps h")
+        g = math.gcd(self.up, self.down)
+        self.up //= g
+        self.down //= g
+        if self.h_res is None:
+            self.h_res = oracle.resample_filter(self.up, self.down)
+        self.h_res = np.asarray(self.h_res, np.float64)
+        self._res = ResampleStage(up=self.up, down=self.down, h=self.h_res)
+        self._fg = FIRGateStage(
+            h=self.h, nfft=self.nfft, hop=self.hop,
+            threshold_db=self.threshold_db, reduction_db=self.reduction_db,
+            noise_frames=self.noise_frames, release=self.release,
+            window_kind=self.window_kind, impl=self.impl)
+        self.latency = self._fg.latency  # output (resampled) domain
+
+    def configure(self, input_latency: int) -> int:
+        lat_res = self._res.configure(input_latency)
+        self.input_latency = lat_res  # gate-domain upstream latency
+        return self._fg.configure(lat_res)
+
+    def out_block(self, b: int) -> int:
+        return self._fg.out_block(self._res.out_block(b))
+
+    def _fused_ok(self, dtype, block: int | None = None) -> bool:
+        from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+        from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+            res_step_geometry,
+        )
+
+        if not (self.fused and dtype != jnp.float64
+                and self.hop % _grid_split(self.nfft)[1] == 0):
+            return False
+        if block is None:
+            return True
+        d5, lcm = res_step_geometry(self.h_res, self.up, self.down,
+                                    self.nfft, self.hop)
+        return block % d5 == 0 and (block // d5 * lcm) % self.hop == 0
+
+    def full(self, x):
+        n_out = -(-x.shape[-1] * self.up // self.down)
+        from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+
+        if self._fused_ok(x.dtype) and n_out % _grid_split(self.nfft)[1] == 0:
+            from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+                resample_fir_gate_fused,
+            )
+
+            y = resample_fir_gate_fused(
+                x, self.up, self.down, self.h, self.h_res, self.nfft,
+                self.hop, self.threshold_db, self.reduction_db,
+                self.noise_frames, self.release, self.window_kind)
+            pad = n_out - y.shape[-1]
+            if pad > 0:
+                y = jnp.concatenate(
+                    [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
+            return y[..., :n_out]
+        return self._fg.full(self._res.full(x))
+
+    def init_state(self, batch, block, dtype):
+        if self._fused_ok(dtype, block):
+            from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+                res_fir_gate_step_init_state,
+            )
+
+            return res_fir_gate_step_init_state(
+                batch, self.up, self.down, self.h_res, self.nfft, self.hop,
+                len(self.h), self.noise_frames, self.release, dtype)
+        return [self._res.init_state(batch, block, dtype),
+                self._fg.init_state(batch, self._res.out_block(block), dtype)]
+
+    def step(self, state, x):
+        if isinstance(state, dict) and "res_hist" in state:
+            from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+                res_fir_gate_step_fused,
+            )
+
+            return res_fir_gate_step_fused(
+                x, state, self.up, self.down, self.h, self.h_res,
+                nfft=self.nfft, hop=self.hop,
+                threshold_db=self.threshold_db,
+                reduction_db=self.reduction_db,
+                noise_frames=self.noise_frames, release=self.release,
+                window_kind=self.window_kind,
+                input_latency=self.input_latency, latency=self.latency,
+                head_norm=_wola_head_norm(self.nfft, self.hop,
+                                          self.window_kind),
+                const_norm=_wola_const_norm(self.nfft, self.hop,
+                                            self.window_kind))
+        sr_, sf_ = state
+        sr_, y = self._res.step(sr_, x)
+        sf_, y = self._fg.step(sf_, y)
+        return [sr_, sf_], y
+
+
+@dataclass
 class StretchStage(Stage):
     """Streaming phase-vocoder time stretch at the EXACT rational rate
     p/q (analysis frames advanced per synthesis frame; p > q speeds up).

@@ -73,3 +73,107 @@ def test_long_fir(rng):
     out = np.asarray(resample_fir_gate_fused(x, up, down, h, noise_frames=4))
     ref = _oracle_chain(x[0], up, down, h, noise_frames=4)
     np.testing.assert_allclose(out[0], ref, rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# streaming step kernel (res_fir_gate_step_fused)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("release", (0.0, 0.6))
+def test_step_vs_composed_stages(rng, release):
+    """One-kernel streaming step == ResampleStage.step -> FIRGateStage.step
+    over multiple blocks (raw block, carries in both domains)."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+        res_fir_gate_step_fused, res_fir_gate_step_init_state,
+        res_step_geometry,
+    )
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, FIRGateStage, ResampleStage, _wola_const_norm,
+        _wola_head_norm,
+    )
+
+    up, down, nfft, hop = 160, 147, 1024, 256
+    h = oracle.design_fir(64, 0.3)
+    h_res = oracle.resample_filter(up, down)
+    d5, lcm = res_step_geometry(h_res, up, down, nfft, hop)
+    b_in = 4 * d5  # b_out = 4*lcm, a multiple of hop
+    nblocks = 5
+    x = _mk(rng, 2, b_in * nblocks).astype(np.float32)
+
+    fg = FIRGateStage(h=h, nfft=nfft, hop=hop, noise_frames=4,
+                      release=release, fused=True)
+    chain = Chain([ResampleStage(up=up, down=down), fg])
+    chain.build()
+    ref = np.asarray(chain.stream(jnp.asarray(x), b_in))
+
+    st = res_fir_gate_step_init_state((2,), up, down, h_res, nfft, hop,
+                                      len(h), 4, release, jnp.float32)
+    outs = []
+    for k in range(nblocks):
+        st, y = res_fir_gate_step_fused(
+            jnp.asarray(x[:, k * b_in : (k + 1) * b_in]), st, up, down, h,
+            h_res, nfft=nfft, hop=hop, threshold_db=6.0, reduction_db=60.0,
+            noise_frames=4, release=release, window_kind="hann",
+            input_latency=0, latency=fg.latency,
+            head_norm=_wola_head_norm(nfft, hop, "hann"),
+            const_norm=_wola_const_norm(nfft, hop, "hann"))
+        outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=-1)
+    m = min(got.shape[-1], ref.shape[-1])
+    assert oracle.snr_db(ref[:, :m] + 1e-30, got[:, :m] + 1e-30) >= 80.0
+
+
+def test_res_stage_stream_equals_full(rng):
+    """ResFIRGateStage: fused stream[lat:] == fused full == composed full."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, FIRGateStage, ResampleStage, ResFIRGateStage,
+    )
+
+    h = oracle.design_fir(64, 0.3)
+    b_in = 4 * 588
+    x = _mk(rng, 2, b_in * 5).astype(np.float32)
+    st = ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                         noise_frames=4)
+    chain = Chain([st])
+    lat = chain.build()
+    full = np.asarray(chain.full(jnp.asarray(x)))
+    stream = np.asarray(chain.stream(jnp.asarray(x), b_in))
+    ref_chain = Chain([ResampleStage(up=160, down=147),
+                       FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
+    assert ref_chain.build() == lat
+    ref_full = np.asarray(ref_chain.full(jnp.asarray(x)))
+    m = min(full.shape[-1], ref_full.shape[-1])
+    assert oracle.snr_db(ref_full[:, :m] + 1e-30, full[:, :m] + 1e-30) >= 100.0
+    got = stream[:, lat:]
+    end = min(got.shape[-1], full.shape[-1])
+    assert oracle.snr_db(full[:, :end] + 1e-30, got[:, :end] + 1e-30) >= 80.0
+
+
+def test_res_stage_fallback_f64(rng):
+    """f64 (no TPU fused path) falls back to the composed two-state step
+    with the same streaming contract.  (For 160/147 @ 1024/256 every
+    hop-valid block is also supercycle-valid, so dtype is the fallback
+    trigger with observable state shape.)"""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import Chain, ResFIRGateStage
+
+    h = oracle.design_fir(64, 0.3)
+    st = ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                         noise_frames=4)
+    chain = Chain([st])
+    lat = chain.build()
+    b_in = 4 * 588
+    x = _mk(rng, 1, b_in * 5)  # float64
+    state = st.init_state((1,), b_in, jnp.float64)
+    assert isinstance(state, list)  # composed fallback
+    full = np.asarray(chain.full(jnp.asarray(x)))
+    stream = np.asarray(chain.stream(jnp.asarray(x), b_in))
+    got = stream[:, lat:]
+    end = min(got.shape[-1], full.shape[-1])
+    assert oracle.snr_db(full[:, :end] + 1e-30, got[:, :end] + 1e-30) >= 100.0

@@ -151,6 +151,29 @@ def main():
     results["fir_gate_step_fused"] = round(
         oracle.snr_db(rfg[:, :nfg], yfg[:, :nfg]), 1)
 
+    # one-kernel streaming resample+FIR+gate step (pipeline.ResFIRGateStage)
+    # vs the f64 oracle chain over the latency-aligned overlap
+    from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+    b_in = 4 * 588  # 4 supercycles of 160/147 @ n2=128
+    xr5 = 0.01 * rng.standard_normal((2, b_in * 5)).astype(np.float32)
+    xr5[:, 3000:9000] += np.sin(
+        2 * np.pi * 440 * np.arange(6000) / 44100).astype(np.float32)
+    rc = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                noise_frames=4)])
+    latr = rc.build()
+    yr5 = np.asarray(jax.jit(lambda v: rc.stream(v, b_in))(xr5))[:, latr:]
+    rr5 = np.stack([
+        oracle.noise_gate(
+            oracle.fir_direct(
+                oracle.resample_poly(xr5[i].astype(np.float64), 160, 147,
+                                     zero_phase=False), h),
+            noise_frames=4) for i in range(2)
+    ])
+    nr5 = min(yr5.shape[-1], rr5.shape[-1])
+    results["res_fir_gate_step_fused"] = round(
+        oracle.snr_db(rr5[:, :nr5], yr5[:, :nr5]), 1)
+
     # fused streaming phase-vocoder step (pipeline.StretchStage fused
     # path) vs the jnp streaming step on the same blocks.  The rotor
     # phase accumulator is chaotic under rounding, so the check pins
