@@ -390,10 +390,23 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
     """Apply a pipeline.Chain to one (channel, time) shard with halos.
     Output == chain.full(x) restricted to this shard."""
     from audiosignalprocess_tpu.pipeline import (
-        FIRStage, GateStage, ResampleStage, StretchStage,
+        FIRGateStage, FIRStage, GateStage, ResampleStage, ResFIRGateStage,
+        StretchStage,
     )
 
+    # composite stages shard as their exact component composition (the
+    # one-kernel fusion is a single-shard locality optimization; across
+    # shards the halo/psum structure is the components')
+    stages = []
     for s in chain.stages:
+        if isinstance(s, ResFIRGateStage):
+            stages += [s._res, s._fg._fir, s._fg._gate]
+        elif isinstance(s, FIRGateStage):
+            stages += [s._fir, s._gate]
+        else:
+            stages.append(s)
+
+    for s in stages:
         if isinstance(s, FIRStage):
             t = len(s.h)
             src = jnp.abs(x) if s.pre == "abs" else x
