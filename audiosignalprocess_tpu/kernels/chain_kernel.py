@@ -358,6 +358,45 @@ def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                        relo_ref)
 
 
+def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
+                    latency, head_norm, const_norm, span_r, n2, dt):
+    """Position-dependent per-block gate-step inputs, shared by the
+    FIR+gate and resample+FIR+gate step wrappers: frame validity /
+    noise-floor-take masks and the WOLA 1/norm rows (head ramp while the
+    block overlaps the whole-file ramp-in region, constant after)."""
+    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
+    valid_f = (starts >= input_latency)
+    take_f = jnp.logical_and(
+        valid_f,
+        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
+        <= noise_frames,
+    )
+    ones_row = jnp.ones((1, n2), dt)
+    valid2 = valid_f.astype(dt)[:, None] * ones_row
+    take2 = take_f.astype(dt)[:, None] * ones_row
+    p0 = state["pos"] - latency - input_latency
+    pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
+    head = jnp.asarray(head_norm, dt)
+    const = jnp.asarray(const_norm, dt)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    inorm = (1.0 / norm).reshape(span_r, n2)
+    return valid2, take2, take_f, inorm
+
+
+def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt):
+    """(wgrid, tabs): windowed-grid + four-step/taps-spectrum kernel
+    inputs shared by the step wrappers (tap spectrum in grid layout)."""
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
+    t = len(h)
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
+    hg = hf.reshape(n2, n1).T
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
+        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    return wgrid, tabs
+
+
 def fir_gate_step_fused(
     x: jnp.ndarray,
     state: dict,
@@ -420,30 +459,11 @@ def fir_gate_step_fused(
         (bs, n1, n2), dt)
 
     # position logic (XLA) — identical to gate_step_fused
-    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
-    valid_f = (starts >= input_latency)
-    take_f = jnp.logical_and(
-        valid_f,
-        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
-        <= noise_frames,
-    )
-    ones_row = jnp.ones((1, n2), dt)
-    valid2 = valid_f.astype(dt)[:, None] * ones_row
-    take2 = take_f.astype(dt)[:, None] * ones_row
-    p0 = state["pos"] - latency - input_latency
-    pvec = p0 + jnp.arange(b, dtype=jnp.int32)
-    head = jnp.asarray(head_norm, dt)
-    const = jnp.asarray(const_norm, dt)
-    idx = jnp.clip(pvec, 0, d - 1)
-    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-    inorm = (1.0 / norm).reshape(span_r, n2)
+    valid2, take2, take_f, inorm = gate_step_masks(
+        state, m, b, d, hop, noise_frames, input_latency, latency,
+        head_norm, const_norm, span_r, n2, dt)
 
-    wv_np = oracle.window(window_kind, nfft, periodic=True)
-    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    hg = hf.reshape(n2, n1).T
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

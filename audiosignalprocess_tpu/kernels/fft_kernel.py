@@ -692,7 +692,6 @@ def _stockham_stages(xr, xi, n, sign):
     if _sk_radix() == 2:
         return _stockham_stages_r2(xr, xi, n, sign)
     L = xr.shape[-1]
-    stages = n.bit_length() - 1
     Lt, R = 1, n
     while R >= 4:
         q = R // 4

@@ -370,13 +370,20 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
                        relo_ref)
 
 
-def res_step_geometry(h_res, up: int, down: int, nfft: int, hop: int):
-    """(D5, lcm): streaming block quantum in raw samples and the
-    resampled samples it emits (block must be a multiple of D5 with the
-    emitted length a multiple of hop)."""
+def res_step_geometry(up: int, down: int, nfft: int, hop: int):
+    """(b_in, b_out): the streaming block quantum for
+    res_fir_gate_step_fused — the smallest raw block size (and the
+    resampled samples it emits) satisfying BOTH kernel constraints:
+    whole supercycles (b_in % D5 == 0) and hop-aligned output
+    (b_out % hop == 0).  Any multiple is also valid."""
+    g = gcd(up, down)
+    up, down = up // g, down // g
     n1, n2 = _grid_split(nfft)
-    lcm = _lcm(up, n2)
-    return (lcm // up) * down, lcm
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
+    lcm = _lcm(up, n2)  # resampled samples per supercycle
+    d5 = (lcm // up) * down
+    k = _lcm(lcm, hop) // lcm  # supercycles until hop alignment
+    return k * d5, k * lcm
 
 
 def res_fir_gate_step_init_state(batch: tuple, up: int, down: int,
@@ -501,30 +508,14 @@ def res_fir_gate_step_fused(
     ola_tail = flat(state["ola_tail"])
     rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
         (bs, n1, n2), dt)
-    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
-    valid_f = (starts >= input_latency)
-    take_f = jnp.logical_and(
-        valid_f,
-        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
-        <= noise_frames,
+    from audiosignalprocess_tpu.kernels.chain_kernel import (
+        fir_gate_step_tables, gate_step_masks,
     )
-    ones_row = jnp.ones((1, n2), dt)
-    valid2 = valid_f.astype(dt)[:, None] * ones_row
-    take2 = take_f.astype(dt)[:, None] * ones_row
-    p0 = state["pos"] - latency - input_latency
-    pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
-    head = jnp.asarray(head_norm, dt)
-    const = jnp.asarray(const_norm, dt)
-    idx = jnp.clip(pvec, 0, d - 1)
-    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-    inorm = (1.0 / norm).reshape(span_r, n2)
 
-    wv_np = oracle.window(window_kind, nfft, periodic=True)
-    wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    hg = hf.reshape(n2, n1).T
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    valid2, take2, take_f, inorm = gate_step_masks(
+        state, m, b_out, d, hop, noise_frames, input_latency, latency,
+        head_norm, const_norm, span_r, n2, dt)
+    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
     if _use_bf16x3(dt):
         m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)], axis=1)
         m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))

@@ -233,7 +233,7 @@ void asp_wav_reader_close(void *h) {
 /* Encode planar float32 -> WAV (bits: 16/24/32 PCM, or float_fmt). */
 int asp_wav_write(const char *path, const float *x, int nch, long nframes,
                   int rate, int bits, int float_fmt) {
-    if (!float_fmt && bits != 16 && bits != 24 && bits != 32) return -6;
+    if (!float_fmt && bits != 8 && bits != 16 && bits != 24 && bits != 32) return -6;
     FILE *f = fopen(path, "wb");
     if (!f) return -1;
     int bps = float_fmt ? 4 : bits / 8;
@@ -269,6 +269,11 @@ int asp_wav_write(const char *path, const float *x, int nch, long nframes,
             uint8_t *p = buf + (size_t)c * bps;
             if (float_fmt) {
                 float fv = (float)v; memcpy(p, &fv, 4);
+            } else if (bits == 8) {
+                double s = v * 128.0;
+                if (s > 127.0) s = 127.0;
+                if (s < -128.0) s = -128.0;
+                p[0] = (uint8_t)(llrint(s) + 128);
             } else if (bits == 16) {
                 double s = v * 32768.0;
                 if (s > 32767.0) s = 32767.0;

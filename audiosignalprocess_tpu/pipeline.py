@@ -539,9 +539,8 @@ class ResFIRGateStage(Stage):
             return False
         if block is None:
             return True
-        d5, lcm = res_step_geometry(self.h_res, self.up, self.down,
-                                    self.nfft, self.hop)
-        return block % d5 == 0 and (block // d5 * lcm) % self.hop == 0
+        b_in, _ = res_step_geometry(self.up, self.down, self.nfft, self.hop)
+        return block % b_in == 0
 
     def full(self, x):
         n_out = -(-x.shape[-1] * self.up // self.down)

@@ -98,8 +98,9 @@ def test_step_vs_composed_stages(rng, release):
     up, down, nfft, hop = 160, 147, 1024, 256
     h = oracle.design_fir(64, 0.3)
     h_res = oracle.resample_filter(up, down)
-    d5, lcm = res_step_geometry(h_res, up, down, nfft, hop)
-    b_in = 4 * d5  # b_out = 4*lcm, a multiple of hop
+    bq, oq = res_step_geometry(up, down, nfft, hop)
+    assert (bq, oq) == (2 * 588, 2 * 640) and oq % hop == 0
+    b_in = 2 * bq
     nblocks = 5
     x = _mk(rng, 2, b_in * nblocks).astype(np.float32)
 

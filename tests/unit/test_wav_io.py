@@ -140,7 +140,7 @@ def test_pcm8_roundtrip(tmp_path):
 
 
 def test_pcm8_native_parity(tmp_path):
-    """Native C decoder matches the numpy reader on PCM8."""
+    """Native C decoder/encoder match the numpy reader/writer on PCM8."""
     from audiosignalprocess_tpu.io import wav_native
 
     x = np.clip(RNG.standard_normal((2, 300)) * 0.4, -1, 1).astype(np.float32)
@@ -150,6 +150,9 @@ def test_pcm8_native_parity(tmp_path):
     ync, rate = wav_native.read_wav(p)
     assert rate == 16000
     np.testing.assert_allclose(ync, ypy, atol=1e-7)
+    pn = str(tmp_path / "u8w.wav")
+    wav_native.write_wav(pn, x, 16000, bits=8)
+    assert open(pn, "rb").read() == open(p, "rb").read()
 
 
 def test_rf64_raises(tmp_path):
