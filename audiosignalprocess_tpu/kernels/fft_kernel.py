@@ -93,7 +93,10 @@ def _dot(a, b, dn, acc_dt):
 
 
 def _matmul_mode() -> str:
-    return os.environ.get("ASP_MATMUL_MODE", "auto")
+    m = os.environ.get("ASP_MATMUL_MODE", "auto")
+    check(m in ("auto", "bf16x3", "highest"),
+          f"ASP_MATMUL_MODE must be auto|bf16x3|highest, got {m!r}")
+    return m
 
 
 def _use_bf16x3(dt) -> bool:
@@ -233,6 +236,43 @@ def _dft_sublane_mac(parts, coef, out_len):
     return outs
 
 
+def _grid_fft_mode() -> str:
+    """n2-side DFT implementation inside the fused grid kernels:
+    "matmul" (K=n2 MXU contraction — ONE fused pass over the data, but
+    ~n2/log2(n2) redundant FLOPs at bf16x3 ~109 dB) or "butterfly"
+    (in-VMEM transpose + Stockham stages on sublanes — minimal FLOPs,
+    zero MXU, exact f32 so fused-kernel SNR rises to 117-141 dB).
+    "auto" = matmul: measured on-chip A/B (headline chain bench, two
+    interleaved runs) puts matmul at 1.72e9 samples/s vs butterfly's
+    1.26e9 — even with the MXU throttled to 4% of spec, the butterfly's
+    per-stage VMEM relayout passes cost more than the redundant matmul
+    FLOPs (docs/PERF.md grid-FFT A/B).  Unknown values raise."""
+    m = os.environ.get("ASP_GRID_FFT", "auto")
+    check(m in ("auto", "matmul", "butterfly"),
+          f"ASP_GRID_FFT must be auto|matmul|butterfly, got {m!r}")
+    return m
+
+
+def _use_lane_butterfly() -> bool:
+    return _grid_fft_mode() == "butterfly"
+
+
+def dft_lanes_butterfly(zr, zi, sign):
+    """Unnormalized DFT over the LANE (minor) axis of (..., C, n2) planar
+    grids: transpose in VMEM so the transform sits on sublanes (all
+    leading dims flatten into the lane batch — the wider the better for
+    the VPU), run the Stockham butterfly stages, transpose back.  The
+    butterfly replacement for the four-step's n2-side matmul: exact f32
+    (no bf16 emulation) and no MXU work beyond the relayouts."""
+    shp = zr.shape
+    n2 = shp[-1]
+    tr = jnp.swapaxes(zr.reshape(-1, n2), 0, 1)   # (n2, B)
+    ti = jnp.swapaxes(zi.reshape(-1, n2), 0, 1)
+    tr, ti = _stockham_stages(tr, ti, n2, sign)
+    return (jnp.swapaxes(tr, 0, 1).reshape(shp),
+            jnp.swapaxes(ti, 0, 1).reshape(shp))
+
+
 def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     """Forward four-step FFT, grid in -> grid out: (..., n1, n2) planar
     [a, b] grids of x[a*n2+b] -> (..., n1, n2) grids G[..., c, d] =
@@ -260,6 +300,12 @@ def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
             yi = yi + _dot(xi, c1, dn1, acc)
         zr = yr * tbc + yi * tbs
         zi = yi * tbc - yr * tbs
+        if _use_lane_butterfly():
+            # fallback layout is (..., b, c): move the transform axis to
+            # lanes first so the butterfly output matches the matmul's
+            # (..., c, d) grid
+            return dft_lanes_butterfly(jnp.swapaxes(zr, -1, -2),
+                                       jnp.swapaxes(zi, -1, -2), -1.0)
         dn2 = (((zr.ndim - 2,), (0,)), ((), ()))  # contract b
         rc, rs = _mm_pair(zr, c2, s2, dn2, acc)
         ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
@@ -286,6 +332,8 @@ def fourstep_grid_fwd(xr, xi, n1, n2, c1, s1, c2, s2, tbc, tbs):
             zi_rows.append(yi * tr - yr * ts)
     zr = jnp.stack(zr_rows, axis=-2)  # (..., c, b) full-lane
     zi = jnp.stack(zi_rows, axis=-2)
+    if _use_lane_butterfly():
+        return dft_lanes_butterfly(zr, zi, -1.0)
     dn2 = (((zr.ndim - 1,), (0,)), ((), ()))   # contract b (lane, K=n2)
     rc, rs = _mm_pair(zr, c2, s2, dn2, acc)    # (..., c, d)
     ic, is_ = _mm_pair(zi, c2, s2, dn2, acc)
@@ -319,11 +367,15 @@ def fourstep_grid_inv_real(pr, pi, n1, n2, c1, s1, c2, s2, tbc, tbs):
     MXU n2 side, full-lane intermediates)."""
     acc = pr.dtype
     n = n1 * n2
-    dn1 = (((pr.ndim - 1,), (0,)), ((), ()))   # contract d (lane, K=n2)
-    rc, rs = _mm_pair(pr, c2, s2, dn1, acc)    # (..., c, b)
-    ic, is_ = _mm_pair(pi, c2, s2, dn1, acc)
-    ur = rc - is_
-    ui = ic + rs
+    if _use_lane_butterfly():
+        # p @ (c2 + i*s2) == positive-sign DFT over the d lane axis
+        ur, ui = dft_lanes_butterfly(pr, pi, 1.0)
+    else:
+        dn1 = (((pr.ndim - 1,), (0,)), ((), ()))  # contract d (lane, K=n2)
+        rc, rs = _mm_pair(pr, c2, s2, dn1, acc)   # (..., c, b)
+        ic, is_ = _mm_pair(pi, c2, s2, dn1, acc)
+        ur = rc - is_
+        ui = ic + rs
     # twiddle e^{+2pi i cb/n}: [c, b] grids = transposes of (tbc, tbs)
     tcb = jnp.transpose(tbc)
     tsb = jnp.transpose(tbs)
