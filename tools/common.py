@@ -6,12 +6,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.io.wav import read_wav, write_wav
+
+# Honor ASP_FORCE_PLATFORM in every driver (the TPU plugin force-registers
+# itself and ignores the JAX_PLATFORMS env var; only jax.config works).
+# Must run before the first jax computation initializes the backend.
+_plat = os.environ.get("ASP_FORCE_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 
 def make_test_wav(path: str, channels: int, rate: int, seconds: float,
