@@ -31,8 +31,15 @@ Pinned conventions
 - ``stft``: frame k = x[k*hop : k*hop+nfft] (no center padding, no partial
   frames — C-style), windowed, rfft.  num_frames = 1 + (len(x)-nfft)//hop.
 - ``istft``: WOLA — overlap-add of w * irfft(S[k]) normalized by
-  sum-of-squared-windows (clamped at 1e-12).  Output length
-  = nfft + (num_frames-1)*hop.
+  sum-of-squared-windows, clamped below at ``WOLA_EDGE_REL`` (1e-3) of
+  its peak (absolute floor 1e-12).  Output length
+  = nfft + (num_frames-1)*hop.  The relative clamp tapers the few edge
+  samples whose window coverage is < 0.1 % of the interior instead of
+  dividing by w[i]^2 ~ 1e-10 there: for MODIFIED spectra (gate masks,
+  vocoder) the frame content is no longer window-shaped and that
+  division amplifies residual noise by up to 1/w[i] ~ 1e5 — a full-scale
+  click at both file edges.  Exact reconstruction of unmodified spectra
+  is unaffected except at those same tapered samples.
 - ``envelope``: full-wave rectify -> causal FIR lowpass, scaled by pi/2
   (sine-carrier amplitude calibration).
 - ``noise_gate``: per-bin noise floor = mean |STFT| over the first
@@ -343,6 +350,16 @@ def stft(x: np.ndarray, nfft: int, hop: int, window_kind: str = "hann") -> np.nd
     return rfft(frames)
 
 
+WOLA_EDGE_REL = 1e-3
+"""Relative WOLA-normalization clamp: norm values below this fraction of
+the norm's peak divide by the clamp instead (module docstring, istft)."""
+
+
+def wola_clamp(norm: np.ndarray) -> np.ndarray:
+    """Clamped WOLA norm per the pinned convention (float64)."""
+    return np.maximum(norm, max(WOLA_EDGE_REL * float(np.max(norm)), 1e-12))
+
+
 def istft(spec: np.ndarray, nfft: int, hop: int, window_kind: str = "hann") -> np.ndarray:
     """WOLA inverse STFT.  Output length = nfft + (frames-1)*hop."""
     spec = np.asarray(spec, dtype=np.complex128)
@@ -355,7 +372,7 @@ def istft(spec: np.ndarray, nfft: int, hop: int, window_kind: str = "hann") -> n
     for k in range(nframes):
         y[..., k * hop : k * hop + nfft] += frames[..., k, :]
         norm[k * hop : k * hop + nfft] += w * w
-    return y / np.maximum(norm, 1e-12)
+    return y / wola_clamp(norm)
 
 
 # --------------------------------------------------------------------------

@@ -66,9 +66,8 @@ def inv_norm_rows(wv_np, nfft, hop, nframes, total_len):
     norm_np = np.zeros(total_len)
     for k in range(nframes):
         norm_np[k * hop : k * hop + nfft] += w2
-    inv = 1.0 / np.maximum(norm_np, 1e-12)
-    inv[out_len:] = 1.0
-    return inv
+    inv = 1.0 / oracle.wola_clamp(norm_np[:out_len])
+    return np.concatenate([inv, np.ones(total_len - out_len)])
 
 
 def ola_rows(y, spill, mf, hr, dr, n2):

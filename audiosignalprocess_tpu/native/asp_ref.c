@@ -323,8 +323,16 @@ void asp_istft(const double *spec_r, const double *spec_i, int nframes,
             norm[f * hop + i] += w[i] * w[i];
         }
     }
+    /* clamp the WOLA norm at WOLA_EDGE_REL (1e-3) of its peak: edge
+       samples with <0.1% window coverage taper instead of amplifying
+       modified-spectrum residue by 1/w^2 (see cpu_ref/oracle.py spec) */
+    double nmax = 0.0;
     for (int i = 0; i < nout; i++)
-        y[i] /= (norm[i] > 1e-12 ? norm[i] : 1e-12);
+        if (norm[i] > nmax) nmax = norm[i];
+    double clamp = 1e-3 * nmax;
+    if (clamp < 1e-12) clamp = 1e-12;
+    for (int i = 0; i < nout; i++)
+        y[i] /= (norm[i] > clamp ? norm[i] : clamp);
     free(w); free(norm); free(fr);
 }
 

@@ -79,7 +79,7 @@ def _wola_norm(nf: int, nfft: int, hop: int, window_kind: str) -> np.ndarray:
     norm = np.zeros(nout)
     for k in range(nf):
         norm[k * hop : k * hop + nfft] += w2
-    return np.maximum(norm, 1e-12)
+    return oracle.wola_clamp(norm)
 
 
 def istft(

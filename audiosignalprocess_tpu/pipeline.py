@@ -67,7 +67,11 @@ def _wola_head_norm(nfft: int, hop: int, window_kind: str) -> np.ndarray:
             break
         seg = min(nfft, d - lo)
         norm[lo : lo + seg] += w2[:seg]
-    return np.maximum(norm, 1e-12)
+    # clamp relative to the INTERIOR peak (oracle.WOLA_EDGE_REL), matching
+    # the whole-file norm the oracle/ops paths compute — the head-local max
+    # is itself a ramp value and would under-clamp
+    const = _wola_const_norm(nfft, hop, window_kind)
+    return np.maximum(norm, max(oracle.WOLA_EDGE_REL * const, 1e-12))
 
 
 class Stage:

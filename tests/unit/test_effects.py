@@ -91,6 +91,20 @@ class TestNoiseGate:
         out = np.asarray(noise_gate(x))
         np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
 
+    def test_no_edge_click(self, rng):
+        """Gated output never exceeds the input peak at the WOLA edges.
+
+        Masked spectra are not window-shaped, so dividing the first/last
+        ramp samples by their raw w^2 norm (~1e-10) amplified residual
+        noise into a full-scale click (measured |y| ~ 66 for a +-1
+        signal) before the oracle.WOLA_EDGE_REL norm clamp."""
+        x = self._mk_signal(rng)
+        y = np.asarray(noise_gate(x, threshold_db=12.0))
+        assert np.max(np.abs(y)) <= 1.05 * np.max(np.abs(x))
+        # the edge regions themselves stay at/below the gated noise level
+        assert np.max(np.abs(y[:256])) < 0.1
+        assert np.max(np.abs(y[-256:])) < 0.1
+
 
 class TestPhaseVocoder:
     def test_time_stretch_vs_oracle(self, rng):

@@ -46,15 +46,24 @@ class TestSTFT:
         np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
 
     def test_roundtrip_interior_identity(self, rng):
-        """WOLA with hann/hop=nfft/4 reconstructs the signal (full span,
-        normalization handles edges)."""
+        """WOLA with hann/hop=nfft/4 reconstructs the signal exactly
+        outside the edge taper (oracle.WOLA_EDGE_REL clamp: samples with
+        window coverage < 0.1% of the interior divide by the clamp and
+        taper toward zero instead of amplifying — oracle.py istft spec)."""
         x = rng.standard_normal(4096)
         y = np.asarray(istft(stft(x, 1024, 256), 1024, 256))
         nf = num_frames(4096, 1024, 256)
-        assert y.shape[-1] == 1024 + (nf - 1) * 256
-        # sample 0 is unreconstructable: periodic hann has w[0] = 0, so the
-        # WOLA norm there is ~0 (clamped) — the pinned C convention.
-        np.testing.assert_allclose(y[1:], x[1 : y.shape[-1]], rtol=1e-7, atol=1e-7)
+        n = y.shape[-1]
+        assert n == 1024 + (nf - 1) * 256
+        # taper width for hann/1024: w^2[i] < 1e-3 * 1.5 => i < 65
+        w2 = oracle.window("hann", 1024, periodic=True) ** 2
+        taper = int(np.searchsorted(w2[:512], 1e-3 * 1.5))
+        assert 1 <= taper < 256
+        np.testing.assert_allclose(y[taper:n - taper], x[taper : n - taper],
+                                   rtol=1e-7, atol=1e-7)
+        # tapered edge samples are attenuated, never amplified
+        assert np.all(np.abs(y[:taper]) <= np.abs(x[:taper]) + 1e-12)
+        assert np.all(np.abs(y[n - taper:]) <= np.abs(x[n - taper : n]) + 1e-12)
 
     def test_batched(self, rng):
         x = rng.standard_normal((3, 4096))
