@@ -34,6 +34,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
     hbm_fetch_rows,
+    vmem_tile_cap,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
     floor_grid, inv_norm_rows, ola_rows,
@@ -207,7 +208,10 @@ def fir_noise_gate_fused(
         jnp.zeros((bs, e0), dt), xf,
         jnp.zeros((bs, max(0, need - n)), dt),
     ], axis=-1)
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: FIR span blocks + gate frame grids live
+    # together (~10 planes of (tb, mf, n1, n2) through the two four-steps;
+    # calibrated so the shipped mf=32 default keeps its measured tb=32)
+    tb = int(min(batch_tile, bs, vmem_tile_cap(10, mf * nfft, dt.itemsize)))
     bp = -(-bs // tb) * tb
     if bp != bs:
         xp = jnp.pad(xp, ((0, bp - bs), (0, 0)))
@@ -467,7 +471,10 @@ def fir_gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: block frames + spectral FIFO grids
+    tb = int(min(batch_tile, bs,
+                 vmem_tile_cap(12, (b // hop + nfft // hop) * nfft,
+                               x.dtype.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a

@@ -60,11 +60,34 @@ def _split_n(n: int) -> tuple[int, int]:
     return n // n2, n2
 
 
+def vmem_budget_bytes() -> int:
+    """Per-grid-step VMEM working-set budget for the fused kernels.
+
+    Default 48 MB: v5e VMEM is larger, but Mosaic accounts kernel
+    temporaries conservatively (little buffer reuse across the unrolled
+    four-step), so the analytic plane counts below need headroom.
+    Override with ASP_VMEM_MB — lower it if a custom geometry hits a
+    Mosaic VMEM-exceeded error, raise it after `tools/tune_tiles.py`
+    confirms bigger tiles compile and win on the target chip."""
+    return int(float(os.environ.get("ASP_VMEM_MB", "48")) * 1e6)
+
+
+def vmem_tile_cap(live_planes: int, plane_elems: int, itemsize: int) -> int:
+    """Max batch-tile rows whose working set fits the VMEM budget.
+
+    ``live_planes`` is the kernel's analytic count of simultaneously-live
+    (tile, plane_elems) buffers (per-kernel constants documented at each
+    call site; calibrated so the shipped default geometries keep their
+    measured tiles).  Floored at 8 (one sublane tile)."""
+    return max(8, vmem_budget_bytes() // (live_planes * plane_elems * itemsize))
+
+
 def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
-    """Batch rows per grid step.  Mosaic accounts kernel temporaries
-    conservatively (little buffer reuse across the unrolled four-step),
-    so budget ~24 live (tile, n) planes."""
-    budget = 12 * 1024 * 1024 // (24 * n * dtype_bytes)
+    """Batch rows per grid step of the standalone FFT kernels (~24 live
+    (tile, n) planes through the unrolled four-step; the 12 MiB base
+    scales with ASP_VMEM_MB)."""
+    base = int(12 * 1024 * 1024 * (vmem_budget_bytes() / 48e6))
+    budget = base // (24 * n * dtype_bytes)
     return int(np.clip((budget // 8) * 8, 8, 64))
 
 

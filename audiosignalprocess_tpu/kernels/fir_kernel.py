@@ -26,7 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from audiosignalprocess_tpu.kernels.fft_kernel import _interpret, check_kernel_dtype
+from audiosignalprocess_tpu.kernels.fft_kernel import (
+    _interpret, check_kernel_dtype, vmem_tile_cap)
 
 
 def _fir_kernel(t, tile, nt, pref, x_hbm, h_ref, o_ref, xwin, sem):
@@ -85,7 +86,10 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
     tile = -(-tile // 128) * 128  # Mosaic: last out dim % 128 == 0
     pref = -(-(t - 1) // 128) * 128  # lane-aligned DMA window prefix
     npad = -(-n // tile) * tile
-    tb = int(min(batch_tile, b))
+    # VMEM-aware batch tile: double-buffered (tile+pref) DMA window plus
+    # ~4 live MAC accumulation planes per step
+    tb = int(min(batch_tile, b,
+                 vmem_tile_cap(6, tile + pref, x.dtype.itemsize)))
     bp = -(-b // tb) * tb
     xp = jnp.concatenate([
         jnp.zeros((b, pref - (t - 1)), x.dtype), head, xf,

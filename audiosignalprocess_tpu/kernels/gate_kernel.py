@@ -37,6 +37,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
     hbm_fetch_rows,
+    vmem_tile_cap,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.stft import frame as frame_op
@@ -215,7 +216,9 @@ def noise_gate_fused(
     # and the last (row-aligned) DMA window is in bounds
     need = ((nt - 1) * mf * hr + wfetch) * n2
     xp = jnp.concatenate([xf, jnp.zeros((b, max(0, need - n)), dt)], axis=-1)
-    tb = int(min(batch_tile, b))
+    # VMEM-aware batch tile: ~12 live (tb, mf, n1, n2) grid planes per
+    # step (windowed frames, fwd/inv four-step intermediates, mask)
+    tb = int(min(batch_tile, b, vmem_tile_cap(12, mf * nfft, x.dtype.itemsize)))
     bp = -(-b // tb) * tb
     if bp != b:
         xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
@@ -396,7 +399,11 @@ def gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: the step holds the block's frames plus the
+    # nfft/hop-deep spectral FIFO as live grids (~12 planes)
+    tb = int(min(batch_tile, bs,
+                 vmem_tile_cap(12, (b // hop + nfft // hop) * nfft,
+                               x.dtype.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a

@@ -34,6 +34,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    vmem_tile_cap,
     hbm_fetch_rows,
 )
 from audiosignalprocess_tpu.utils.validate import check
@@ -139,9 +140,9 @@ def overlap_save_fused(
     )
     # VMEM-aware batch tile: the step holds ~10 live (tb, nb, n1, n2)
     # planes (window scratch x2 + four-step intermediates); cap the tile
-    # so big-nfft configs (16384-pt config 4) fit the 128 MB VMEM
-    vmem_cap = int(48e6 // (10 * nb * nfft * x.dtype.itemsize))
-    tb = int(min(batch_tile, bsz, max(8, vmem_cap)))
+    # so big-nfft configs (16384-pt config 4) fit VMEM (ASP_VMEM_MB)
+    tb = int(min(batch_tile, bsz,
+                 vmem_tile_cap(10, nb * nfft, x.dtype.itemsize)))
     bp = -(-bsz // tb) * tb
     if bp != bsz:
         xp = jnp.pad(xp, ((0, bp - bsz), (0, 0)))

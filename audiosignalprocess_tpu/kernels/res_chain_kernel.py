@@ -38,6 +38,7 @@ from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_rows
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _grid_split,
+    vmem_tile_cap,
     _use_bf16x3,
     split_bf16_np,
     check_kernel_dtype,
@@ -254,7 +255,11 @@ def resample_fir_gate_fused(
     ], axis=-1)
     if shift:
         xp = xp[:, shift:]
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: supercycle phase matmuls + FIR span blocks
+    # + gate frame grids live together (~8 budget planes of (tb, mf, n1,
+    # n2); calibrated so the shipped default keeps its measured tb=32
+    # after mf's supercycle-alignment round-up)
+    tb = int(min(batch_tile, bs, vmem_tile_cap(8, mf * nfft, dt.itemsize)))
     bp = -(-bs // tb) * tb
     if bp != bs:
         xp = jnp.pad(xp, ((0, bp - bs), (0, 0)))
@@ -525,7 +530,9 @@ def res_fir_gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: resampled block frames + spectral FIFO grids
+    tb = int(min(batch_tile, bs,
+                 vmem_tile_cap(14, (m + nfft // hop) * nfft, dt.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a

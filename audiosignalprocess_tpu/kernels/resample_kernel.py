@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audiosignalprocess_tpu.cpu_ref import oracle
-from audiosignalprocess_tpu.kernels.fft_kernel import _interpret, check_kernel_dtype
+from audiosignalprocess_tpu.kernels.fft_kernel import (
+    _interpret, check_kernel_dtype, vmem_tile_cap)
 from audiosignalprocess_tpu.utils.validate import check
 
 
@@ -139,7 +140,11 @@ def resample_mac(
     )
     if shift:
         xp = xp[:, shift:]
-    tb = int(min(batch_tile, b))
+    # VMEM-aware batch tile: ~6 live (tb, tcyc, wp|up) planes per step
+    # (phase window, hi/lo splits, products, out)
+    wp0 = -(-w // 128) * 128
+    tb = int(min(batch_tile, b,
+                 vmem_tile_cap(6, tcyc * max(wp0, up), x.dtype.itemsize)))
     bp = -(-b // tb) * tb
     if bp != b:
         xp = jnp.pad(xp, ((0, bp - b), (0, 0)))

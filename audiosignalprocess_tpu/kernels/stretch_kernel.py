@@ -42,6 +42,7 @@ from audiosignalprocess_tpu.effects.phase_vocoder import unit_rotor
 from audiosignalprocess_tpu.kernels.fft_kernel import (
     _grid_split,
     _interpret,
+    vmem_tile_cap,
     check_kernel_dtype,
     fourstep_grid_fwd,
     fourstep_grid_inv_real,
@@ -176,7 +177,11 @@ def stretch_step_fused(
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = grid_table_arrays(nfft, dt, (n1, n2))
 
-    tb = int(min(batch_tile, bs))
+    # VMEM-aware batch tile: analysis+synthesis frame grids, rotor planes
+    # and the spectral FIFO live together (~14 planes)
+    tb = int(min(batch_tile, bs,
+                 vmem_tile_cap(14, (b // hop + nfft // hop) * nfft,
+                               dt.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a
