@@ -77,3 +77,16 @@ def test_conformance_doc_fresh():
         [sys.executable, str(repo / "tools" / "gen_conformance.py"),
          "--check"], capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_api_doc_fresh():
+    """docs/API.md is regenerated from the public docstrings; a stale
+    doc means the API changed without the reference page."""
+    import os, subprocess, sys, pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    env = dict(os.environ, ASP_FORCE_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, str(repo / "tools" / "gen_api.py"), "--check"],
+        capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
