@@ -166,3 +166,40 @@ class TestConfig5Ring:
             out_b, _ = run_config_5.run_ring(chain, wav, block, 4, resume=ck)
             tail = out_a[..., 4 * chain.out_block(block):]
             np.testing.assert_array_equal(tail, out_b)
+
+    def test_ring_micro_batched(self):
+        """batch_blocks=K pops K blocks per device call and scans
+        chain.step over them in ONE jit — same carry semantics, so the
+        output matches Chain.stream; the checkpoint boundary splits a
+        batch (3+1 | 3+1 for K=3, ckpt at 4) and the resumed tail is
+        bit-identical."""
+        import importlib
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        run_config_5 = importlib.import_module("run_config_5")
+
+        block = 147 * 8
+        x = _tone_noise(4, 44100, 1.0)[:, : block * 8]
+        chain = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=design_fir(64, 0.3), nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+        ])
+        chain.build()
+        with tempfile.TemporaryDirectory() as d:
+            wav = os.path.join(d, "in.wav")
+            write_wav(wav, x, 44100, float_fmt=True)
+            # 8 blocks at K=3: full batches 3+3, single-step tail 1+1
+            out, nb = run_config_5.run_ring(chain, wav, block, 4,
+                                            batch_blocks=3)
+            assert nb == 8
+            ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+            ck = os.path.join(d, "carry.npz")
+            out_a, _ = run_config_5.run_ring(chain, wav, block, 4,
+                                             ckpt=(ck, 4), batch_blocks=3)
+            out_b, _ = run_config_5.run_ring(chain, wav, block, 4,
+                                             resume=ck, batch_blocks=3)
+            tail = out_a[..., 4 * chain.out_block(block):]
+            np.testing.assert_array_equal(tail, out_b)

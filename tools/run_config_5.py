@@ -18,6 +18,7 @@ from audiosignalprocess_tpu.parallel.sharded import sharded_chain
 from audiosignalprocess_tpu.pipeline import (
     Chain, EnvelopeStage, FIRStage, GateStage, ResampleStage,
 )
+from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed, to_host
 
 RATE_IN, RATE_OUT = 44100, 48000
@@ -35,12 +36,17 @@ def build_chain(fused: bool = True) -> Chain:
 
 
 def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
-             ckpt=None, logger=None):
+             ckpt=None, logger=None, batch_blocks=1):
     """Ring-buffer streaming: a native decode thread (asp_io.c WavReader)
     feeds the SPSC ring while the device runs the jitted chain step —
     host decode overlaps device compute (BASELINE.json:11).  ``resume``
     restarts from a saved carry checkpoint; ``ckpt=(path, at_block)``
-    saves one mid-stream.  Returns (output, blocks_processed)."""
+    saves one mid-stream.  ``batch_blocks=K`` micro-batches the device
+    dispatch: K blocks are popped at once and run through ONE jitted
+    ``lax.scan`` over ``chain.step`` (identical carry semantics, K blocks
+    of added latency) — on high-dispatch-cost transports this amortizes
+    the per-call round trip across K blocks.  Returns
+    (output, blocks_processed)."""
     import threading
     import time as _time
 
@@ -49,12 +55,13 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
     from audiosignalprocess_tpu.io.wav_native import RingBuffer, WavReader
     from audiosignalprocess_tpu.utils.checkpoint import load_carry, save_carry
 
+    check(batch_blocks >= 1, "batch_blocks must be >= 1")
     reader = WavReader(wav_path)
     assert reader.channels == channels, (reader.channels, channels)
     total = reader.num_frames // block
     if nblocks is None or nblocks > total:
         nblocks = total
-    ring = RingBuffer(channels, block * 8)
+    ring = RingBuffer(channels, block * max(8, 2 * batch_blocks))
     states = chain.init_state((channels,), block, jnp.float32)
     start_block = 0
     if resume:
@@ -75,21 +82,42 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
     th = threading.Thread(target=producer, daemon=True)
     th.start()
     step = jax.jit(chain.step)
+
+    @jax.jit
+    def step_k(st, blocks):  # blocks: (K, C, block)
+        return jax.lax.scan(lambda s, xb: chain.step(s, xb), st, blocks)
+
     outs = []
-    for bi in range(start_block, nblocks):
-        while ring.readable < block:
+    bi = start_block
+    while bi < nblocks:
+        # never batch across a checkpoint boundary (state must exist at
+        # exactly ckpt[1] processed blocks)
+        stop = nblocks
+        if ckpt is not None and bi < ckpt[1]:
+            stop = min(stop, ckpt[1])
+        # full batches only: a ragged tail scan would be a fresh compile
+        # per distinct K, so the remainder runs single steps
+        k = batch_blocks if stop - bi >= batch_blocks else 1
+        while ring.readable < block * k:
             _time.sleep(0.0002)
-        blk, _ = ring.pop(block)
+        blk, _ = ring.pop(block * k)
         t0 = _time.perf_counter()
-        states, y = step(states, jnp.asarray(blk))
-        y = np.asarray(y)
+        if k > 1:
+            xb = jnp.asarray(
+                blk.reshape(channels, k, block).transpose(1, 0, 2))
+            states, ys = step_k(states, xb)
+            y = np.moveaxis(np.asarray(ys), 0, -2).reshape(channels, -1)
+        else:
+            states, y = step(states, jnp.asarray(blk))
+            y = np.asarray(y)
         outs.append(y)
         if logger is not None:
-            logger.tick(int(blk.size), block_index=bi,
+            logger.tick(int(blk.size), block_index=bi, blocks=k,
                         step_ms=round(1e3 * (_time.perf_counter() - t0), 3),
                         ring_fill=int(ring.readable))
-        if ckpt is not None and bi + 1 == ckpt[1]:
-            save_carry(ckpt[0], states, bi + 1)
+        bi += k
+        if ckpt is not None and bi == ckpt[1]:
+            save_carry(ckpt[0], states, bi)
     th.join()
     reader.close()
     return np.concatenate(outs, axis=-1), nblocks - start_block
@@ -105,6 +133,10 @@ def main():
     p.add_argument("--demo-restart", action="store_true",
                    help="ring mode: checkpoint mid-stream, restart from the "
                         "saved block, verify the resumed tail matches")
+    p.add_argument("--ring-batch", type=int, default=1, metavar="K",
+                   help="ring mode: micro-batch K blocks per device call "
+                        "(one lax.scan step; amortizes dispatch latency at "
+                        "K blocks of added latency)")
     args = p.parse_args()
     initialize(args.coordinator, args.num_processes, args.process_id)
 
@@ -123,7 +155,8 @@ def main():
                                     f"asp_gen_{CHANNELS}ch_{RATE_IN}.wav")
         logger = BlockLogger() if args.json or args.bench else None
         t0 = __import__("time").perf_counter()
-        out, nb = run_ring(chain, wav_path, BLOCK, CHANNELS, logger=logger)
+        out, nb = run_ring(chain, wav_path, BLOCK, CHANNELS, logger=logger,
+                           batch_blocks=args.ring_batch)
         dt = (__import__("time").perf_counter() - t0)
         n = nb * BLOCK
         x_host = np.asarray(x[:, :n], dtype=np.float32)
@@ -141,8 +174,9 @@ def main():
             ck = os.path.join(_tf.gettempdir(), "asp_cfg5_carry.npz")
             half = max(1, (x.shape[-1] // BLOCK) // 2)
             out_a, _ = run_ring(chain, wav_path, BLOCK, CHANNELS,
-                                ckpt=(ck, half))
-            out_b, _ = run_ring(chain, wav_path, BLOCK, CHANNELS, resume=ck)
+                                ckpt=(ck, half), batch_blocks=args.ring_batch)
+            out_b, _ = run_ring(chain, wav_path, BLOCK, CHANNELS, resume=ck,
+                                batch_blocks=args.ring_batch)
             tail = out_a[..., half * chain.out_block(BLOCK):]
             assert np.array_equal(tail, out_b), "restart-from-block mismatch"
             print(f"  restart-from-block verified: resumed at block {half}, "
@@ -151,7 +185,8 @@ def main():
         # dt is the TOTAL ring wall time for nb blocks (report computes
         # samples/s as total input samples / dt, so dt must cover the
         # whole input, not one block)
-        report(f"config5_streaming_{CHANNELS}ch_ring", x_host, out,
+        tag = f"_b{args.ring_batch}" if args.ring_batch > 1 else ""
+        report(f"config5_streaming_{CHANNELS}ch_ring{tag}", x_host, out,
                dt, snr, args)
         return
 
