@@ -78,8 +78,12 @@ def vmem_tile_cap(live_planes: int, plane_elems: int, itemsize: int) -> int:
     ``live_planes`` is the kernel's analytic count of simultaneously-live
     (tile, plane_elems) buffers (per-kernel constants documented at each
     call site; calibrated so the shipped default geometries keep their
-    measured tiles).  Floored at 8 (one sublane tile)."""
-    return max(8, vmem_budget_bytes() // (live_planes * plane_elems * itemsize))
+    measured tiles).  Rounded DOWN to a sublane multiple (8) and floored
+    at 8 (one sublane tile): a non-multiple-of-8 tile both pads every
+    batch to an odd multiple (wasted kernel work) and can land a ragged
+    sublane dim on a 2D BlockSpec."""
+    cap = vmem_budget_bytes() // (live_planes * plane_elems * itemsize)
+    return max(8, (cap // 8) * 8)
 
 
 def _batch_tile(n: int, dtype_bytes: int = 4) -> int:
@@ -225,6 +229,15 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None):
     must match the (n1, n2) the calling kernel uses (default balanced)."""
     n1, n2 = split if split is not None else _split_n(n)
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n, n1, n2)
+    if _use_lane_butterfly():
+        # butterfly mode never reads the n2-side DFT tables (both
+        # fourstep_grid_fwd and fourstep_grid_inv_real branch to
+        # dft_lanes_butterfly before touching c2/s2), so pass minimal
+        # (8, 128) placeholders instead of DMAing and pinning n2*n2
+        # (x2 when bf16-split) dead bytes in every fused kernel's VMEM.
+        ph = jnp.zeros((8, 128), dt)
+        return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt), ph, ph,
+                jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
     return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt),
             _tab(c2_, dt), _tab(s2_, dt),
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]

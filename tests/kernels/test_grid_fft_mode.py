@@ -58,6 +58,19 @@ def test_chain_fused_butterfly_wide_lanes(rng, monkeypatch):
     assert oracle.snr_db(ref[:, :m], out[:, :m]) >= 100.0
 
 
+@pytest.mark.parametrize("mode", ["matmul", "butterfly"])
+def test_os_fused_large_n1_fallback(rng, monkeypatch, mode):
+    """nfft=16384 splits to n1=128 > _MAC_MAX_N1, taking the dot_general
+    fallback branch of fourstep_grid_fwd — in butterfly mode that branch
+    has its own (..., b, c) -> lanes relayout which no other test hits."""
+    monkeypatch.setenv("ASP_GRID_FFT", mode)
+    x = rng.standard_normal((2, 30000))
+    h = oracle.design_fir(4097, 0.1)  # config-4 class geometry
+    ref = np.stack([oracle.fir_direct(x[i], h) for i in range(2)])
+    out = np.asarray(overlap_save_fused(x, h, 16384, blocks_per_step=1))
+    np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-7)
+
+
 def test_unknown_mode_raises(monkeypatch):
     from audiosignalprocess_tpu.kernels import fft_kernel
 

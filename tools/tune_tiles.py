@@ -17,6 +17,11 @@ Usage:
 
 Apply a winner by passing batch_tile=/frames_per_step= explicitly at the
 call site, or adjust ASP_VMEM_MB to move every kernel's analytic caps.
+
+Unless the caller already set ASP_VMEM_MB, the sweep lifts the analytic
+VMEM budget out of the way (512 MB): the whole point is to measure the
+REAL Mosaic ceiling, so requested tiles must reach the kernel unclamped
+rather than being silently capped to the model's answer.
 """
 
 from __future__ import annotations
@@ -30,6 +35,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# lift the analytic cap so requested tiles actually run (see module doc);
+# must happen before any kernel call (vmem_budget_bytes reads it per call)
+os.environ.setdefault("ASP_VMEM_MB", "512")
 
 from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
 
@@ -112,8 +121,14 @@ def main():
     best = None
     for tb in parse_ints(args.batch_tiles):
         for mf in parse_ints(args.frame_tiles):
-            rec = {"kernel": args.kernel, "nfft": args.nfft,
-                   "batch_tile": tb, "frames_per_step": mf}
+            rec = {"kernel": args.kernel, "batch_tile": tb}
+            if args.kernel == "resample":
+                # resample_mac takes cycle_tile (supercycles per grid
+                # step), not frames_per_step, and has no FFT geometry
+                rec["cycle_tile"] = 16 * mf
+            else:
+                rec["nfft"] = args.nfft
+                rec["frames_per_step"] = mf
             try:
                 sps = timed(make_fn(tb, mf))
                 rec["samples_per_s"] = round(sps, 1)
