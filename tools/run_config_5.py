@@ -4,6 +4,7 @@ resample (160/147) + FIR bank + STFT noise gate + envelope demod — block
 streaming with exact carry state, or time-block sharded whole-file
 (SURVEY.md §3.4)."""
 
+import functools
 import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -81,9 +82,11 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
-    step = jax.jit(chain.step)
+    # donate the carry: every step writes its new carry in place of the
+    # old one's HBM instead of allocating fresh buffers per block
+    step = jax.jit(chain.step, donate_argnums=(0,))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_k(st, blocks):  # blocks: (K, C, block)
         return jax.lax.scan(lambda s, xb: chain.step(s, xb), st, blocks)
 
