@@ -283,9 +283,11 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                        tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
                        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
                        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                       fro_ref, fio_ref, fso_ref, oto_ref,
                        relo_ref):
     """Shared streaming FIR->gate step body on in-VMEM raw rows.
+    Returns the emitted (tb, m*hr, n2) output rows (WOLA-normalized);
+    callers write them (or feed them to the envelope tail) themselves.
 
     xrows: (tb, m*hr, n2) this block's raw (pre-FIR) rows.  Used by the
     FIR+gate step kernel (rows DMA'd as an input) and the resample+FIR+
@@ -342,7 +344,38 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                                tbs[:]) * wv
     oto_ref[:] = ot_ref[:]
     emit = ola_rows(y, oto_ref, m, hr, dr, n2)
-    y_ref[:] = emit * inorm_ref[:][None]
+    return emit * inorm_ref[:][None]
+
+
+def envelope_step_rows(e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
+                       yrows, etail_ref,
+                       c1, s1, c2, s2, tbc, tbs, hegr, hegi,
+                       etailo_ref):
+    """Envelope tail on emitted step rows: |y| -> overlap-save FIR
+    (tap spectrum hegr/hegi in grid layout) -> *scale, with the rectified
+    tail carried across blocks (== FIRStage(pre="abs").step semantics,
+    SURVEY.md §2 row 12).  yrows: (tb, span_r, n2) gate-output rows;
+    returns the envelope rows of the same shape."""
+    a = jnp.abs(yrows)
+    etailo_ref[:] = jnp.concatenate([etail_ref[:], a], axis=1)[:, -e0re:]
+    pieces = [etail_ref[:], a]
+    if zpad_e:
+        # zero future rows: outputs at in-block positions use causal taps
+        # only (same argument as the raw-tail zero pad above)
+        pieces.append(jnp.zeros((a.shape[0], zpad_e, n2), a.dtype))
+    w3 = jnp.concatenate(pieces, axis=1)
+    blocks = jnp.stack([w3[:, k * bre : k * bre + nr, :] for k in range(nb_e)],
+                       axis=1)
+    sr, si = fourstep_grid_fwd(blocks, None, n1, n2,
+                               c1, s1, c2, s2, tbc, tbs)
+    pr = sr * hegr - si * hegi
+    pi_ = sr * hegi + si * hegr
+    e4 = fourstep_grid_inv_real(pr, pi_, n1, n2,
+                                c1, s1, c2, s2, tbc, tbs)
+    env = jnp.concatenate(
+        [e4[:, k, e0re : e0re + bre, :] for k in range(nb_e)], axis=1
+    )[:, : yrows.shape[1]]
+    return env * scale
 
 
 def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
@@ -352,14 +385,43 @@ def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                           c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                           y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
                           relo_ref):
-    fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
-                       nf, thresh_gain, att, release,
-                       x_ref[:],
-                       tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
-                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                       c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
-                       relo_ref)
+    y_ref[:] = fir_gate_step_rows(
+        m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+        nf, thresh_gain, att, release,
+        x_ref[:],
+        tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+        fro_ref, fio_ref, fso_ref, oto_ref,
+        relo_ref)
+
+
+def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+                              nf, thresh_gain, att, release,
+                              e0re, bre, nb_e, zpad_e, scale,
+                              tail_ref, x_ref, fr_ref, fi_ref, fs_ref,
+                              ot_ref, rel_ref, etail_ref,
+                              valid_ref, take_ref, inorm_ref, wgrid,
+                              c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                              hegr, hegi,
+                              y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                              relo_ref, etailo_ref):
+    """FIR -> gate -> envelope demod step, ONE kernel: the full headline
+    chain per streaming block (BASELINE.json:11 back half included)."""
+    rows = fir_gate_step_rows(
+        m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+        nf, thresh_gain, att, release,
+        x_ref[:],
+        tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+        fro_ref, fio_ref, fso_ref, oto_ref,
+        relo_ref)
+    y_ref[:] = envelope_step_rows(
+        e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
+        rows, etail_ref,
+        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:], hegr[:], hegi[:],
+        etailo_ref)
 
 
 def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
@@ -401,6 +463,26 @@ def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt):
     return wgrid, tabs
 
 
+def envelope_step_geometry(env_h, nfft, span_r, nr, n1, n2, dt):
+    """Envelope-tail geometry + grid-layout tap spectrum for the fused
+    step kernels: (e0re, bre, nb_e, zpad_e, hegr, hegi)."""
+    he = np.asarray(env_h, np.float64)
+    te = len(he)
+    check(te >= 2, "envelope FIR needs at least 2 taps")
+    e0e = -(-(te - 1) // n2) * n2
+    check(e0e <= nfft - n2,
+          f"envelope taps {te} need e0={e0e} > nfft-{n2}: raise nfft")
+    e0re = e0e // n2
+    bre = (nfft - e0e) // n2
+    nb_e = -(-span_r // bre)
+    wrows_e = (nb_e - 1) * bre + nr
+    zpad_e = max(0, wrows_e - (e0re + span_r))
+    hf = np.fft.fft(np.concatenate([he, np.zeros(nfft - te)]))
+    hg = hf.reshape(n2, n1).T
+    return (e0re, bre, nb_e, zpad_e,
+            jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt))
+
+
 def fir_gate_step_fused(
     x: jnp.ndarray,
     state: dict,
@@ -418,6 +500,8 @@ def fir_gate_step_fused(
     head_norm: np.ndarray,
     const_norm: float,
     batch_tile: int = 8,
+    env_h=None,
+    env_scale: float = 1.0,
 ):
     """Fused Pallas streaming FIR+gate step: (state, x) -> (new_state, y).
 
@@ -427,6 +511,11 @@ def fir_gate_step_fused(
     layout — the FIR history and the gate framing halo are recomputed
     from raw rows in VMEM instead of being carried in the filtered
     domain.  x is (batch..., b), b a multiple of hop; y matches.
+
+    ``env_h`` folds an envelope-demod tail (|y| -> overlap-save FIR ->
+    *env_scale, rectified tail carried in ``state["env_tail"]``) into the
+    SAME kernel — the whole FIR -> gate -> envelope chain step in one
+    pallas_call (== appending FIRStage(pre="abs", post_scale=env_scale)).
     """
     x = jnp.asarray(x)
     check_kernel_dtype(x.dtype)
@@ -471,9 +560,19 @@ def fir_gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    # VMEM-aware batch tile: block frames + spectral FIFO grids
+    env = env_h is not None
+    if env:
+        e0re, bre, nb_e, zpad_e, hegr, hegi = envelope_step_geometry(
+            env_h, nfft, span_r, nr, n1, n2, dt)
+        etail = flat(state["env_tail"])
+        check(etail.shape[-2:] == (e0re, n2),
+              f"env_tail must be {(e0re, n2)} rows, got {etail.shape[-2:]}")
+
+    # VMEM-aware batch tile: block frames + spectral FIFO grids (+ the
+    # envelope OS blocks when folded in)
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(12, (b // hop + nfft // hop) * nfft,
+                 vmem_tile_cap(16 if env else 12,
+                               (b // hop + nfft // hop) * nfft,
                                x.dtype.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
@@ -489,23 +588,36 @@ def fir_gate_step_fused(
         memory_space=pltpu.VMEM)
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, _n=a.ndim: (0,) * _n),
                                   memory_space=pltpu.VMEM)
-    ins = [tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel,
-           valid2, take2, inorm, wgrid] + tabs
-    in_specs = ([bs_b(a.shape) for a in
-                 (tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel)]
-                + [bs_c(valid2), bs_c(take2), bs_c(inorm), bs_c(wgrid)]
-                + [bs_c(t_) for t_ in tabs])
-    out_shape = (jax.ShapeDtypeStruct((bp, span_r, n2), dt),
+    tiled = [tail3, x3, fifo_r, fifo_i, floor_sum, ot3, rel]
+    if env:
+        tiled.append(pad_b(etail))
+    consts = [valid2, take2, inorm, wgrid] + tabs + ([hegr, hegi] if env
+                                                     else [])
+    ins = tiled + consts
+    in_specs = [bs_b(a.shape) for a in tiled] + [bs_c(a) for a in consts]
+    out_shape = [jax.ShapeDtypeStruct((bp, span_r, n2), dt),
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, dr, n2), dt),
-                 jax.ShapeDtypeStruct((bp, n1, n2), dt))
+                 jax.ShapeDtypeStruct((bp, n1, n2), dt)]
+    if env:
+        out_shape.append(jax.ShapeDtypeStruct((bp, e0re, n2), dt))
+    out_shape = tuple(out_shape)
     out_specs = tuple(bs_b(s.shape) for s in out_shape)
-    y3, fro, fio, fso, oto, relo = pl.pallas_call(
-        functools.partial(_fir_gate_step_kernel, m, hr, nr, dr, br, e0r,
-                          nb_os, zpad_r, n1, n2, float(noise_frames),
-                          thresh_gain, att, float(release)),
+    if env:
+        kern = functools.partial(
+            _fir_gate_env_step_kernel, m, hr, nr, dr, br, e0r,
+            nb_os, zpad_r, n1, n2, float(noise_frames),
+            thresh_gain, att, float(release),
+            e0re, bre, nb_e, zpad_e, float(env_scale))
+    else:
+        kern = functools.partial(
+            _fir_gate_step_kernel, m, hr, nr, dr, br, e0r,
+            nb_os, zpad_r, n1, n2, float(noise_frames),
+            thresh_gain, att, float(release))
+    outs = pl.pallas_call(
+        kern,
         grid=(bp // tb,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -514,6 +626,7 @@ def fir_gate_step_fused(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*ins)
+    y3, fro, fio, fso, oto, relo = outs[:6]
 
     unb = lambda a: a[:bs].reshape(batch + a.shape[1:])
     ext_tail = jnp.concatenate([in_tail, xf], axis=-1)[..., -(d + e0):]
@@ -529,13 +642,18 @@ def fir_gate_step_fused(
     )
     if release > 0.0:
         new_state["grel"] = unb(relo)
+    if env:
+        new_state["env_tail"] = unb(outs[6])
     y = unb(y3).reshape(batch + (b,))
     return new_state, y
 
 
 def fir_gate_step_init_state(batch: tuple, nfft: int, hop: int, taps: int,
-                             noise_frames: int, release: float, dtype):
-    """Raw-tail + grid-layout carry for fir_gate_step_fused."""
+                             noise_frames: int, release: float, dtype,
+                             env_taps: int = 0):
+    """Raw-tail + grid-layout carry for fir_gate_step_fused.  When the
+    envelope tail is folded in (env_taps >= 2), adds the rectified-tail
+    carry ``env_tail`` in grid rows."""
     n1, n2 = _grid_split(nfft)
     d = nfft - hop
     e0 = -(-(taps - 1) // n2) * n2
@@ -550,4 +668,7 @@ def fir_gate_step_init_state(batch: tuple, nfft: int, hop: int, taps: int,
     )
     if release > 0.0:
         st["grel"] = jnp.zeros(batch + (n1, n2), dtype)
+    if env_taps >= 2:
+        e0e = -(-(env_taps - 1) // n2) * n2
+        st["env_tail"] = jnp.zeros(batch + (e0e // n2, n2), dtype)
     return st

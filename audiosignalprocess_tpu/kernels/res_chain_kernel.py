@@ -330,23 +330,11 @@ def resample_fir_gate_fused(
 # ---------------------------------------------------------------------------
 
 
-def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
-                              zpad_r, n1, n2, nf, thresh_gain, att, release,
-                              v_ref, tail_ref, fr_ref, fi_ref, fs_ref,
-                              ot_ref, rel_ref, valid_ref, take_ref,
-                              inorm_ref, wgrid,
-                              c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
-                              y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
-                              relo_ref, tailo_ref):
-    """Resample prologue (supercycle phase matmuls) + shared FIR->gate
-    step body.  v_ref: (tb, T5b, W5p) raw input windows; the resampled
-    rows never touch HBM."""
-    from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
-
+def _res_rows(v_ref, m5, r5, t5b, n2, acc):
+    """Supercycle phase matmuls: raw input windows -> resampled rows."""
     tb = v_ref.shape[0]
     v = v_ref[:]
     dn = (((2,), (0,)), ((), ()))
-    acc = y_ref.dtype
     if m5.dtype == jnp.bfloat16:
         vh = v.astype(jnp.bfloat16)
         vl = (v - vh.astype(v.dtype)).astype(jnp.bfloat16)
@@ -362,17 +350,72 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
                 precision=jax.lax.Precision.HIGHEST)
 
     rows4 = jnp.stack([mm(q) for q in range(r5)], axis=2)  # (tb,T5b,r5,n2)
-    xrows = rows4.reshape(tb, t5b * r5, n2)  # == this block's resampled rows
+    return rows4.reshape(tb, t5b * r5, n2)
+
+
+def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
+                              zpad_r, n1, n2, nf, thresh_gain, att, release,
+                              v_ref, tail_ref, fr_ref, fi_ref, fs_ref,
+                              ot_ref, rel_ref, valid_ref, take_ref,
+                              inorm_ref, wgrid,
+                              c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
+                              y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                              relo_ref, tailo_ref):
+    """Resample prologue (supercycle phase matmuls) + shared FIR->gate
+    step body.  v_ref: (tb, T5b, W5p) raw input windows; the resampled
+    rows never touch HBM."""
+    from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
+
+    xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
     tailo_ref[:] = jnp.concatenate([tail_ref[:], xrows],
                                    axis=1)[:, -(dr + e0r):]
-    fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
-                       nf, thresh_gain, att, release,
-                       xrows,
-                       tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
-                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                       c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
-                       relo_ref)
+    y_ref[:] = fir_gate_step_rows(
+        m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+        nf, thresh_gain, att, release,
+        xrows,
+        tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+        fro_ref, fio_ref, fso_ref, oto_ref,
+        relo_ref)
+
+
+def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
+                                  zpad_r, n1, n2, nf, thresh_gain, att,
+                                  release,
+                                  e0re, bre, nb_e, zpad_e, scale,
+                                  v_ref, tail_ref, fr_ref, fi_ref, fs_ref,
+                                  ot_ref, rel_ref, etail_ref,
+                                  valid_ref, take_ref,
+                                  inorm_ref, wgrid,
+                                  c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                                  hegr, hegi, m5,
+                                  y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
+                                  relo_ref, tailo_ref, etailo_ref):
+    """The ENTIRE config-5 chain per streaming block as ONE kernel:
+    resample -> overlap-save FIR -> spectral gate -> envelope demod
+    (BASELINE.json:11)."""
+    from audiosignalprocess_tpu.kernels.chain_kernel import (
+        envelope_step_rows, fir_gate_step_rows,
+    )
+
+    xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
+    tailo_ref[:] = jnp.concatenate([tail_ref[:], xrows],
+                                   axis=1)[:, -(dr + e0r):]
+    rows = fir_gate_step_rows(
+        m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
+        nf, thresh_gain, att, release,
+        xrows,
+        tail_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+        fro_ref, fio_ref, fso_ref, oto_ref,
+        relo_ref)
+    y_ref[:] = envelope_step_rows(
+        e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
+        rows, etail_ref,
+        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:], hegr[:], hegi[:],
+        etailo_ref)
 
 
 def res_step_geometry(up: int, down: int, nfft: int, hop: int):
@@ -393,9 +436,11 @@ def res_step_geometry(up: int, down: int, nfft: int, hop: int):
 
 def res_fir_gate_step_init_state(batch: tuple, up: int, down: int,
                                  h_res, nfft: int, hop: int, taps: int,
-                                 noise_frames: int, release: float, dtype):
+                                 noise_frames: int, release: float, dtype,
+                                 env_taps: int = 0):
     """res_hist (raw domain) + the FIR+gate step carry (resampled domain,
-    in_tail carried in grid row layout)."""
+    in_tail carried in grid row layout).  env_taps >= 2 adds the folded
+    envelope tail's rectified-row carry."""
     from audiosignalprocess_tpu.ops.resample import history_len
 
     n1, n2 = _grid_split(nfft)
@@ -414,6 +459,9 @@ def res_fir_gate_step_init_state(batch: tuple, up: int, down: int,
     )
     if release > 0.0:
         st["grel"] = jnp.zeros(batch + (n1, n2), dtype)
+    if env_taps >= 2:
+        e0e = -(-(env_taps - 1) // n2) * n2
+        st["env_tail"] = jnp.zeros(batch + (e0e // n2, n2), dtype)
     return st
 
 
@@ -437,6 +485,8 @@ def res_fir_gate_step_fused(
     head_norm: np.ndarray,
     const_norm: float,
     batch_tile: int = 8,
+    env_h=None,
+    env_scale: float = 1.0,
 ):
     """Fused streaming step: raw block -> resample(up/down) -> overlap-
     save FIR -> spectral gate, ONE Pallas kernel per block.
@@ -447,6 +497,11 @@ def res_fir_gate_step_fused(
     quantum D5 (res_step_geometry) with b_in*up/down a multiple of hop.
     ``input_latency``/``latency``/``state["pos"]`` are in RESAMPLED
     samples (the gate's domain), matching FIRGateStage.step.
+
+    ``env_h`` folds the envelope-demod tail in too (|y| -> overlap-save
+    FIR -> *env_scale, tail carried in ``state["env_tail"]``): the ENTIRE
+    config-5 chain — resample + FIR + gate + envelope (BASELINE.json:11)
+    — as ONE kernel per streaming block.
     """
     from audiosignalprocess_tpu.ops.resample import history_len
 
@@ -521,6 +576,17 @@ def res_fir_gate_step_fused(
         state, m, b_out, d, hop, noise_frames, input_latency, latency,
         head_norm, const_norm, span_r, n2, dt)
     wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
+    env = env_h is not None
+    if env:
+        from audiosignalprocess_tpu.kernels.chain_kernel import (
+            envelope_step_geometry,
+        )
+
+        e0re, bre, nb_e, zpad_e, hegr, hegi = envelope_step_geometry(
+            env_h, nfft, span_r, nr, n1, n2, dt)
+        etail = flat(state["env_tail"])
+        check(etail.shape[-2:] == (e0re, n2),
+              f"env_tail must be {(e0re, n2)} rows, got {etail.shape[-2:]}")
     if _use_bf16x3(dt):
         m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)], axis=1)
         m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
@@ -531,8 +597,10 @@ def res_fir_gate_step_fused(
     att = float(10.0 ** (-reduction_db / 20.0))
 
     # VMEM-aware batch tile: resampled block frames + spectral FIFO grids
+    # (+ the envelope OS blocks when folded in)
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(14, (m + nfft // hop) * nfft, dt.itemsize)))
+                 vmem_tile_cap(18 if env else 14, (m + nfft // hop) * nfft,
+                               dt.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a
@@ -547,25 +615,37 @@ def res_fir_gate_step_fused(
         memory_space=pltpu.VMEM)
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, _n=a.ndim: (0,) * _n),
                                   memory_space=pltpu.VMEM)
-    ins = [v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel,
-           valid2, take2, inorm, wgrid] + tabs + [m5]
-    in_specs = ([bs_b(a.shape) for a in
-                 (v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel)]
-                + [bs_c(valid2), bs_c(take2), bs_c(inorm), bs_c(wgrid)]
-                + [bs_c(t_) for t_ in tabs] + [bs_c(m5)])
-    out_shape = (jax.ShapeDtypeStruct((bp, span_r, n2), dt),
+    tiled = [v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel]
+    if env:
+        tiled.append(pad_b(etail))
+    consts = ([valid2, take2, inorm, wgrid] + tabs
+              + ([hegr, hegi] if env else []) + [m5])
+    ins = tiled + consts
+    in_specs = [bs_b(a.shape) for a in tiled] + [bs_c(a) for a in consts]
+    out_shape = [jax.ShapeDtypeStruct((bp, span_r, n2), dt),
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, dr, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
-                 jax.ShapeDtypeStruct((bp, dr + e0r, n2), dt))
+                 jax.ShapeDtypeStruct((bp, dr + e0r, n2), dt)]
+    if env:
+        out_shape.append(jax.ShapeDtypeStruct((bp, e0re, n2), dt))
+    out_shape = tuple(out_shape)
     out_specs = tuple(bs_b(s.shape) for s in out_shape)
-    y3, fro, fio, fso, oto, relo, tailo = pl.pallas_call(
-        functools.partial(_res_fir_gate_step_kernel, t5b, r5, m, hr, nr,
-                          dr, br, e0r, nb_os, zpad_r, n1, n2,
-                          float(noise_frames), thresh_gain, att,
-                          float(release)),
+    if env:
+        kern = functools.partial(
+            _res_fir_gate_env_step_kernel, t5b, r5, m, hr, nr,
+            dr, br, e0r, nb_os, zpad_r, n1, n2,
+            float(noise_frames), thresh_gain, att, float(release),
+            e0re, bre, nb_e, zpad_e, float(env_scale))
+    else:
+        kern = functools.partial(
+            _res_fir_gate_step_kernel, t5b, r5, m, hr, nr,
+            dr, br, e0r, nb_os, zpad_r, n1, n2,
+            float(noise_frames), thresh_gain, att, float(release))
+    outs = pl.pallas_call(
+        kern,
         grid=(bp // tb,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -574,6 +654,7 @@ def res_fir_gate_step_fused(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(*ins)
+    y3, fro, fio, fso, oto, relo, tailo = outs[:7]
 
     unb = lambda a: a[:bs].reshape(batch + a.shape[1:])
     new_hist = jnp.concatenate([res_hist, xf], axis=-1)[..., -hn:]
@@ -590,5 +671,7 @@ def res_fir_gate_step_fused(
     )
     if release > 0.0:
         new_state["grel"] = unb(relo)
+    if env:
+        new_state["env_tail"] = unb(outs[7])
     y = unb(y3).reshape(batch + (b_out,))
     return new_state, y

@@ -396,13 +396,23 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
 
     # composite stages shard as their exact component composition (the
     # one-kernel fusion is a single-shard locality optimization; across
-    # shards the halo/psum structure is the components')
+    # shards the halo/psum structure is the components').  A folded
+    # envelope tail shards as the direct-FIR form (|x| halo + MAC): the
+    # overlap-save branch below cannot take an abs-pre.
+    def _env_direct(fg):
+        return FIRStage(h=fg._env.h, pre="abs",
+                        post_scale=fg._env.post_scale, fused=fg._env.fused)
+
     stages = []
     for s in chain.stages:
         if isinstance(s, ResFIRGateStage):
             stages += [s._res, s._fg._fir, s._fg._gate]
+            if s._fg._env is not None:
+                stages.append(_env_direct(s._fg))
         elif isinstance(s, FIRGateStage):
             stages += [s._fir, s._gate]
+            if s._env is not None:
+                stages.append(_env_direct(s))
         else:
             stages.append(s)
 

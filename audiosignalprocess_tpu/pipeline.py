@@ -397,6 +397,10 @@ class FIRGateStage(Stage):
     impl: str = fft_ops.DEFAULT_IMPL
     fused: bool = True
     input_latency: int = 0
+    # optional envelope-demod tail folded into the SAME kernel (== a
+    # trailing EnvelopeStage(env_h): |y| -> FIR lowpass -> *env_scale)
+    env_h: np.ndarray | None = None
+    env_scale: float = math.pi / 2.0
 
     def __post_init__(self):
         check(self.h is not None, "FIRGateStage requires filter taps h")
@@ -410,12 +414,19 @@ class FIRGateStage(Stage):
             reduction_db=self.reduction_db, noise_frames=self.noise_frames,
             release=self.release, window_kind=self.window_kind,
             impl=self.impl)
+        self._env = None
+        if self.env_h is not None:
+            self.env_h = np.asarray(self.env_h, np.float64)
+            self._env = FIRStage(h=self.env_h, nfft=self.nfft, pre="abs",
+                                 post_scale=self.env_scale, impl=self.impl)
 
     def configure(self, input_latency: int) -> int:
         check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
         self.input_latency = input_latency
         self._fir.configure(input_latency)
         self._gate.configure(input_latency)
+        if self._env is not None:
+            self._env.configure(input_latency + self.latency)
         return input_latency + self.latency
 
     def _fused_ok(self, dtype) -> bool:
@@ -435,9 +446,11 @@ class FIRGateStage(Stage):
                 self.reduction_db, self.noise_frames, self.release,
                 self.window_kind)
             pad = x.shape[-1] - y.shape[-1]
-            return jnp.concatenate(
+            y = jnp.concatenate(
                 [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
-        return self._gate.full(self._fir.full(x))
+        else:
+            y = self._gate.full(self._fir.full(x))
+        return y if self._env is None else self._env.full(y)
 
     def init_state(self, batch, block, dtype):
         check(block % self.hop == 0 and block >= self.hop, f"block {block} not a multiple of hop={self.hop}")
@@ -448,9 +461,13 @@ class FIRGateStage(Stage):
 
             return fir_gate_step_init_state(
                 batch, self.nfft, self.hop, len(self.h), self.noise_frames,
-                self.release, dtype)
-        return [self._fir.init_state(batch, block, dtype),
-                self._gate.init_state(batch, block, dtype)]
+                self.release, dtype,
+                env_taps=0 if self._env is None else len(self.env_h))
+        st = [self._fir.init_state(batch, block, dtype),
+              self._gate.init_state(batch, block, dtype)]
+        if self._env is not None:
+            st.append(self._env.init_state(batch, block, dtype))
+        return st
 
     def step(self, state, x):
         if isinstance(state, dict) and "gfifo_r" in state:
@@ -468,10 +485,15 @@ class FIRGateStage(Stage):
                 head_norm=_wola_head_norm(self.nfft, self.hop,
                                           self.window_kind),
                 const_norm=_wola_const_norm(self.nfft, self.hop,
-                                            self.window_kind))
-        sf, sg = state
+                                            self.window_kind),
+                env_h=self.env_h if self._env is not None else None,
+                env_scale=self.env_scale)
+        sf, sg = state[0], state[1]
         sf, y = self._fir.step(sf, x)
         sg, y = self._gate.step(sg, y)
+        if self._env is not None:
+            se, y = self._env.step(state[2], y)
+            return [sf, sg, se], y
         return [sf, sg], y
 
 
@@ -507,6 +529,11 @@ class ResFIRGateStage(Stage):
     impl: str = fft_ops.DEFAULT_IMPL
     fused: bool = True
     input_latency: int = 0
+    # optional envelope-demod tail folded into the SAME kernel: with it,
+    # the ENTIRE config-5 chain (resample + FIR + gate + envelope,
+    # BASELINE.json:11) is ONE Pallas kernel per streaming block
+    env_h: np.ndarray | None = None
+    env_scale: float = math.pi / 2.0
 
     def __post_init__(self):
         check(self.h is not None, "ResFIRGateStage requires filter taps h")
@@ -516,12 +543,15 @@ class ResFIRGateStage(Stage):
         if self.h_res is None:
             self.h_res = oracle.resample_filter(self.up, self.down)
         self.h_res = np.asarray(self.h_res, np.float64)
+        if self.env_h is not None:
+            self.env_h = np.asarray(self.env_h, np.float64)
         self._res = ResampleStage(up=self.up, down=self.down, h=self.h_res)
         self._fg = FIRGateStage(
             h=self.h, nfft=self.nfft, hop=self.hop,
             threshold_db=self.threshold_db, reduction_db=self.reduction_db,
             noise_frames=self.noise_frames, release=self.release,
-            window_kind=self.window_kind, impl=self.impl)
+            window_kind=self.window_kind, impl=self.impl,
+            env_h=self.env_h, env_scale=self.env_scale)
         self.latency = self._fg.latency  # output (resampled) domain
 
     def configure(self, input_latency: int) -> int:
@@ -563,7 +593,8 @@ class ResFIRGateStage(Stage):
             if pad > 0:
                 y = jnp.concatenate(
                     [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
-            return y[..., :n_out]
+            y = y[..., :n_out]
+            return y if self._fg._env is None else self._fg._env.full(y)
         return self._fg.full(self._res.full(x))
 
     def init_state(self, batch, block, dtype):
@@ -574,7 +605,8 @@ class ResFIRGateStage(Stage):
 
             return res_fir_gate_step_init_state(
                 batch, self.up, self.down, self.h_res, self.nfft, self.hop,
-                len(self.h), self.noise_frames, self.release, dtype)
+                len(self.h), self.noise_frames, self.release, dtype,
+                env_taps=0 if self.env_h is None else len(self.env_h))
         return [self._res.init_state(batch, block, dtype),
                 self._fg.init_state(batch, self._res.out_block(block), dtype)]
 
@@ -595,7 +627,8 @@ class ResFIRGateStage(Stage):
                 head_norm=_wola_head_norm(self.nfft, self.hop,
                                           self.window_kind),
                 const_norm=_wola_const_norm(self.nfft, self.hop,
-                                            self.window_kind))
+                                            self.window_kind),
+                env_h=self.env_h, env_scale=self.env_scale)
         sr_, sf_ = state
         sr_, y = self._res.step(sr_, x)
         sf_, y = self._fg.step(sf_, y)

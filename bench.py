@@ -76,21 +76,27 @@ def bench_fir_stft_chain(
         def chain(v):
             y = resample_mac(v, 160, 147, zero_phase=False)
             return fir_noise_gate_fused(y, h, 1024, 256, noise_frames=8)
-    elif fused in ("stream", "stream_jnp", "stream1", "res_step"):
+    elif fused in ("stream", "stream_jnp", "stream1", "res_step",
+                   "res_env_step"):
         # the STREAMING path (BASELINE.json:11): lax.scan over per-block
         # Chain.step — "stream" runs the fused Pallas step kernels
         # (overlap_save_fused + gate_step_fused per block), "stream1" the
         # single-kernel FIR+gate step (fir_gate_step_fused), "res_step"
         # the single-kernel resample+FIR+gate step (ResFIRGateStage),
+        # "res_env_step" the ENTIRE config-5 chain (resample+FIR+gate+
+        # envelope demod) as ONE kernel per block (env_h folded in),
         # "stream_jnp" the jnp steps, so the deltas isolate the
         # streaming-kernel wins
+        from audiosignalprocess_tpu.cpu_ref import oracle as _oracle
         from audiosignalprocess_tpu.pipeline import (
             Chain, FIRGateStage, FIRStage, GateStage, ResFIRGateStage,
         )
 
-        if fused == "res_step":
+        if fused in ("res_step", "res_env_step"):
+            env = _oracle.design_fir(129, 0.01) if fused == "res_env_step" \
+                else None
             stages = [ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
-                                      hop=256, noise_frames=8)]
+                                      hop=256, noise_frames=8, env_h=env)]
         elif fused == "stream1":
             stages = [FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=8)]
         else:
@@ -102,7 +108,7 @@ def bench_fir_stft_chain(
         chain_obj = Chain(stages)
         chain_obj.build()
         # res_step: 8 supercycles of 160/147 (b_out = 5120, hop-aligned)
-        block = 8 * 588 if fused == "res_step" else 4096
+        block = 8 * 588 if fused in ("res_step", "res_env_step") else 4096
         n = (n // block) * block
 
         def chain(v):

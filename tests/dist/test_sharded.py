@@ -127,6 +127,32 @@ class TestShardedChain:
         out = np.asarray(sharded_chain(mesh, comp)(shard_audio(x, mesh)))
         np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
 
+    def test_composite_env_stage_matches_components(self, rng):
+        """A folded envelope tail shards as the direct-FIR form (|x| halo
+        + MAC): the full config-5 composite == its four components."""
+        from audiosignalprocess_tpu.pipeline import (
+            EnvelopeStage, ResFIRGateStage,
+        )
+
+        mesh = make_mesh(channel=2, time=4)
+        n = 147 * 512
+        x = rng.standard_normal((8, n))
+        h = oracle.design_fir(64, 0.3)
+        he = oracle.design_fir(129, 0.05)
+        comp = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
+                                      hop=256, noise_frames=4, env_h=he)])
+        comp.build()
+        ref_chain = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=h, nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+            EnvelopeStage(he),
+        ])
+        ref_chain.build()
+        ref = np.asarray(ref_chain.full(jnp.asarray(x)))
+        out = np.asarray(sharded_chain(mesh, comp)(shard_audio(x, mesh)))
+        np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
+
 
 class TestHaloPrimitives:
     def test_halo_left_right(self, rng):

@@ -50,6 +50,41 @@ def test_long_taps(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("env_taps,release", ((129, 0.0), (200, 0.6)))
+def test_fir_gate_env_one_kernel_step(rng, env_taps, release):
+    """env_h folds the envelope demod into the fused FIR+gate step kernel:
+    FIRGateStage(env_h) streaming == FIRStage -> GateStage -> EnvelopeStage
+    composed; state carries the rectified env tail; whole-file matches."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, EnvelopeStage, FIRGateStage, FIRStage, GateStage,
+    )
+
+    h = oracle.design_fir(64, 0.3)
+    he = oracle.design_fir(env_taps, 0.05)
+    block = 2048
+    x = _mk(rng, 2, block * 6).astype(np.float32)
+    st = FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4,
+                      release=release, env_h=he)
+    state = st.init_state((2,), block, jnp.float32)
+    assert isinstance(state, dict) and "env_tail" in state  # one-kernel path
+    chain = Chain([st])
+    lat = chain.build()
+    ref_chain = Chain([FIRStage(h=h, nfft=1024),
+                       GateStage(nfft=1024, hop=256, noise_frames=4,
+                                 release=release),
+                       EnvelopeStage(he)])
+    assert ref_chain.build() == lat
+    got = np.asarray(chain.stream(jnp.asarray(x), block))
+    ref = np.asarray(ref_chain.stream(jnp.asarray(x), block))
+    assert got.shape == ref.shape
+    assert oracle.snr_db(ref + 1e-30, got + 1e-30) >= 80.0
+    full = np.asarray(chain.full(jnp.asarray(x)))
+    ref_full = np.asarray(ref_chain.full(jnp.asarray(x)))
+    assert oracle.snr_db(ref_full + 1e-30, full + 1e-30) >= 80.0
+
+
 def test_release_smoothing(rng):
     """Release smoothing inside the fused chain kernel, carried across
     grid steps, matches the oracle's whole-signal scan."""

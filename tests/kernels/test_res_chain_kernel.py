@@ -155,6 +155,46 @@ def test_res_stage_stream_equals_full(rng):
     assert oracle.snr_db(full[:, :end] + 1e-30, got[:, :end] + 1e-30) >= 80.0
 
 
+def test_res_stage_env_one_kernel_step(rng):
+    """env_h folds the envelope demod into the SAME step kernel: the
+    ENTIRE config-5 chain (resample -> FIR -> gate -> envelope) as one
+    pallas_call per block == the four separate stages composed; the
+    whole-file path (fused res-chain kernel + envelope OS) matches too."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, EnvelopeStage, FIRStage, GateStage, ResampleStage,
+        ResFIRGateStage,
+    )
+
+    h = oracle.design_fir(64, 0.3)
+    he = oracle.design_fir(129, 0.05)
+    b_in = 4 * 588
+    x = _mk(rng, 2, b_in * 5).astype(np.float32)
+    st = ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                         noise_frames=4, env_h=he)
+    state = st.init_state((2,), b_in, jnp.float32)
+    assert isinstance(state, dict) and "env_tail" in state  # one-kernel path
+    chain = Chain([st])
+    lat = chain.build()
+    ref_chain = Chain([ResampleStage(up=160, down=147),
+                       FIRStage(h=h, nfft=1024),
+                       GateStage(nfft=1024, hop=256, noise_frames=4),
+                       EnvelopeStage(he)])
+    assert ref_chain.build() == lat
+    got = np.asarray(chain.stream(jnp.asarray(x), b_in))
+    ref = np.asarray(ref_chain.stream(jnp.asarray(x), b_in))
+    assert got.shape == ref.shape
+    assert oracle.snr_db(ref + 1e-30, got + 1e-30) >= 80.0
+    full = np.asarray(chain.full(jnp.asarray(x)))
+    ref_full = np.asarray(ref_chain.full(jnp.asarray(x)))
+    m = min(full.shape[-1], ref_full.shape[-1])
+    assert oracle.snr_db(ref_full[:, :m] + 1e-30, full[:, :m] + 1e-30) >= 80.0
+    s = np.asarray(chain.stream(jnp.asarray(x), b_in))[:, lat:]
+    end = min(s.shape[-1], full.shape[-1])
+    assert oracle.snr_db(full[:, :end] + 1e-30, s[:, :end] + 1e-30) >= 80.0
+
+
 def test_res_stage_fallback_f64(rng):
     """f64 (no TPU fused path) falls back to the composed two-state step
     with the same streaming contract.  (For 160/147 @ 1024/256 every

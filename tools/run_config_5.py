@@ -18,6 +18,7 @@ from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
 from audiosignalprocess_tpu.parallel.sharded import sharded_chain
 from audiosignalprocess_tpu.pipeline import (
     Chain, EnvelopeStage, FIRStage, GateStage, ResampleStage,
+    ResFIRGateStage,
 )
 from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed, to_host
@@ -27,7 +28,15 @@ CHANNELS = 128
 BLOCK = 147 * 64  # input block: divisible by down=147; output block 10240
 
 
-def build_chain(fused: bool = True) -> Chain:
+def build_chain(fused: bool = True, composite: bool = False) -> Chain:
+    if composite:
+        # the ENTIRE chain as one composite stage: streaming steps run as
+        # ONE Pallas kernel per block (res_fir_gate_step_fused with the
+        # envelope tail folded in)
+        return Chain([ResFIRGateStage(
+            up=160, down=147, h=oracle.design_fir(64, 0.3), nfft=1024,
+            hop=256, noise_frames=8, env_h=oracle.design_fir(129, 0.01),
+            fused=fused)])
     return Chain([
         ResampleStage(up=160, down=147, fused=fused),
         FIRStage(h=oracle.design_fir(64, 0.3), nfft=1024, fused=fused),
@@ -140,11 +149,15 @@ def main():
                    help="ring mode: micro-batch K blocks per device call "
                         "(one lax.scan step; amortizes dispatch latency at "
                         "K blocks of added latency)")
+    p.add_argument("--composite", action="store_true",
+                   help="run the whole chain as ONE composite stage whose "
+                        "streaming step is a single Pallas kernel per block "
+                        "(resample+FIR+gate+envelope folded)")
     args = p.parse_args()
     initialize(args.coordinator, args.num_processes, args.process_id)
 
     x = load_or_make(args, channels=CHANNELS, rate=RATE_IN)
-    chain = build_chain(fused=not args.no_fused)
+    chain = build_chain(fused=not args.no_fused, composite=args.composite)
     lat = chain.build()
 
     if args.mode == "ring":

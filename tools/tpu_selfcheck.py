@@ -174,6 +174,21 @@ def main():
     results["res_fir_gate_step_fused"] = round(
         oracle.snr_db(rr5[:, :nr5], yr5[:, :nr5]), 1)
 
+    # the ENTIRE config-5 chain as one kernel per block (env_h folded:
+    # resample + FIR + gate + envelope demod) vs the f64 oracle chain
+    he = oracle.design_fir(129, 0.05)
+    rce = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                 noise_frames=4, env_h=he)])
+    latre = rce.build()
+    yre = np.asarray(jax.jit(lambda v: rce.stream(v, b_in))(xr5))[:, latre:]
+    rre = np.stack([
+        oracle.fir_direct(np.abs(rr5[i]), he) * (np.pi / 2.0)
+        for i in range(2)
+    ])
+    nre = min(yre.shape[-1], rre.shape[-1])
+    results["res_fir_gate_env_step_fused"] = round(
+        oracle.snr_db(rre[:, :nre], yre[:, :nre]), 1)
+
     # fused streaming phase-vocoder step (pipeline.StretchStage fused
     # path) vs the jnp streaming step on the same blocks.  The rotor
     # phase accumulator is chaotic under rounding, so the check pins
