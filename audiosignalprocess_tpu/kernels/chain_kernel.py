@@ -34,6 +34,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
     hbm_fetch_rows,
+    tap_spectrum_grid,
     vmem_tile_cap,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
@@ -219,14 +220,12 @@ def fir_noise_gate_fused(
     nrows_in = xp.shape[-1] // n2
     xp3 = xp[:, : nrows_in * n2].reshape(bp, nrows_in, n2)
 
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    hg = hf.reshape(n2, n1).T
     inv_norm = jnp.asarray(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
+        h, nfft, n1, n2, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
@@ -455,11 +454,8 @@ def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt):
     inputs shared by the step wrappers (tap spectrum in grid layout)."""
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    t = len(h)
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    hg = hf.reshape(n2, n1).T
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
+        h, nfft, n1, n2, dt)
     return wgrid, tabs
 
 
@@ -477,10 +473,8 @@ def envelope_step_geometry(env_h, nfft, span_r, nr, n1, n2, dt):
     nb_e = -(-span_r // bre)
     wrows_e = (nb_e - 1) * bre + nr
     zpad_e = max(0, wrows_e - (e0re + span_r))
-    hf = np.fft.fft(np.concatenate([he, np.zeros(nfft - te)]))
-    hg = hf.reshape(n2, n1).T
-    return (e0re, bre, nb_e, zpad_e,
-            jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt))
+    hegr, hegi = tap_spectrum_grid(he, nfft, n1, n2, dt)
+    return e0re, bre, nb_e, zpad_e, hegr, hegi
 
 
 def fir_gate_step_fused(

@@ -243,6 +243,17 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None):
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
 
 
+def tap_spectrum_grid(h, nfft: int, n1: int, n2: int, dt):
+    """FIR tap spectrum as grid-layout kernel inputs: Hg[c, d] =
+    FFT(h zero-padded to nfft)[n1*d + c], returned as [real, imag]
+    (n1, n2) arrays.  Shared by every fused kernel that multiplies a
+    spectrum by a tap response (overlap-save FIR, chain, envelope)."""
+    h = np.asarray(h, np.float64)
+    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - len(h))]))
+    hg = hf.reshape(n2, n1).T
+    return [jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+
+
 def _dft_sublane_mac(parts, coef, out_len):
     """DFT along a stacked sublane axis by unrolled scalar-MACs.
 

@@ -34,6 +34,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    tap_spectrum_grid,
     vmem_tile_cap,
     hbm_fetch_rows,
 )
@@ -150,11 +151,8 @@ def overlap_save_fused(
     nrows = xp.shape[-1] // n2
     xp3 = xp[:, : nrows * n2].reshape(bp, nrows, n2)
 
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    # grid layout Hg[c, d] = Hf[n1*d + c]
-    hg = hf.reshape(n2, n1).T
-    consts = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    consts = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
+        h, nfft, n1, n2, dt)
 
     bs_c = lambda shape: pl.BlockSpec(
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)

@@ -43,6 +43,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     split_bf16_np,
     check_kernel_dtype,
     grid_table_arrays,
+    tap_spectrum_grid,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import floor_grid, inv_norm_rows
 from audiosignalprocess_tpu.kernels.resample_kernel import _phase_matrix
@@ -273,14 +274,12 @@ def resample_fir_gate_fused(
                          axis=-1)[..., :w5p]
 
     # ---- tables
-    hf = np.fft.fft(np.concatenate([h, np.zeros(nfft - t)]))
-    hg = hf.reshape(n2, n1).T
     inv_norm = jnp.asarray(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + [
-        jnp.asarray(hg.real.copy(), dt), jnp.asarray(hg.imag.copy(), dt)]
+    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
+        h, nfft, n1, n2, dt)
     if _use_bf16x3(dt):
         m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
                        axis=1)  # (2, r5, w5, n2)

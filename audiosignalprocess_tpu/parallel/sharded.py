@@ -401,7 +401,7 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
     # overlap-save branch below cannot take an abs-pre.
     def _env_direct(fg):
         return FIRStage(h=fg._env.h, pre="abs",
-                        post_scale=fg._env.post_scale, fused=fg._env.fused)
+                        post_scale=fg._env.post_scale, fused=fg.fused)
 
     stages = []
     for s in chain.stages:

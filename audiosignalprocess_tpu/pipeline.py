@@ -418,7 +418,8 @@ class FIRGateStage(Stage):
         if self.env_h is not None:
             self.env_h = np.asarray(self.env_h, np.float64)
             self._env = FIRStage(h=self.env_h, nfft=self.nfft, pre="abs",
-                                 post_scale=self.env_scale, impl=self.impl)
+                                 post_scale=self.env_scale, impl=self.impl,
+                                 fused=self.fused)
 
     def configure(self, input_latency: int) -> int:
         check(input_latency % self.hop == 0, f"upstream latency {input_latency} not a multiple of hop={self.hop}")
@@ -429,11 +430,25 @@ class FIRGateStage(Stage):
             self._env.configure(input_latency + self.latency)
         return input_latency + self.latency
 
+    def _env_fits(self) -> bool:
+        """Envelope taps fit the fused step kernel's overlap-save: at
+        least one valid row must remain (taps-1 rounded to rows <= nfft -
+        n2) and the tail carry needs >= 1 row (taps >= 2).  Outside that,
+        the stage composes [_fir, _gate, _env] instead (same numerics)."""
+        if self.env_h is None:
+            return True
+        from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+
+        te = len(self.env_h)
+        n2 = _grid_split(self.nfft)[1]
+        return te >= 2 and -(-(te - 1) // n2) * n2 <= self.nfft - n2
+
     def _fused_ok(self, dtype) -> bool:
         from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
 
         return (self.fused and dtype != jnp.float64
-                and self.hop % _grid_split(self.nfft)[1] == 0)
+                and self.hop % _grid_split(self.nfft)[1] == 0
+                and self._env_fits())
 
     def full(self, x):
         if self._fused_ok(x.dtype):
@@ -550,7 +565,7 @@ class ResFIRGateStage(Stage):
             h=self.h, nfft=self.nfft, hop=self.hop,
             threshold_db=self.threshold_db, reduction_db=self.reduction_db,
             noise_frames=self.noise_frames, release=self.release,
-            window_kind=self.window_kind, impl=self.impl,
+            window_kind=self.window_kind, impl=self.impl, fused=self.fused,
             env_h=self.env_h, env_scale=self.env_scale)
         self.latency = self._fg.latency  # output (resampled) domain
 
@@ -569,7 +584,8 @@ class ResFIRGateStage(Stage):
         )
 
         if not (self.fused and dtype != jnp.float64
-                and self.hop % _grid_split(self.nfft)[1] == 0):
+                and self.hop % _grid_split(self.nfft)[1] == 0
+                and self._fg._env_fits()):
             return False
         if block is None:
             return True

@@ -87,13 +87,12 @@ def bench_fir_stft_chain(
         # envelope demod) as ONE kernel per block (env_h folded in),
         # "stream_jnp" the jnp steps, so the deltas isolate the
         # streaming-kernel wins
-        from audiosignalprocess_tpu.cpu_ref import oracle as _oracle
         from audiosignalprocess_tpu.pipeline import (
             Chain, FIRGateStage, FIRStage, GateStage, ResFIRGateStage,
         )
 
         if fused in ("res_step", "res_env_step"):
-            env = _oracle.design_fir(129, 0.01) if fused == "res_env_step" \
+            env = oracle.design_fir(129, 0.01) if fused == "res_env_step" \
                 else None
             stages = [ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
                                       hop=256, noise_frames=8, env_h=env)]

@@ -85,6 +85,28 @@ def test_fir_gate_env_one_kernel_step(rng, env_taps, release):
     assert oracle.snr_db(ref_full + 1e-30, full + 1e-30) >= 80.0
 
 
+def test_env_out_of_geometry_falls_back(rng):
+    """Envelope taps the step kernel cannot host (taps-1 > nfft-n2, or a
+    single tap) fall back to the composed [_fir, _gate, _env] path with
+    the same streaming contract — never a trace-time crash."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import Chain, FIRGateStage
+
+    h = oracle.design_fir(64, 0.3)
+    block = 2048
+    x = _mk(rng, 2, block * 4).astype(np.float32)
+    for he in (oracle.design_fir(1000, 0.05), np.array([0.5])):
+        st = FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4, env_h=he)
+        state = st.init_state((2,), block, jnp.float32)
+        assert isinstance(state, list) and len(state) == 3  # composed
+        chain = Chain([st])
+        chain.build()
+        got = np.asarray(chain.stream(jnp.asarray(x), block))
+        full = np.asarray(chain.full(jnp.asarray(x)))
+        assert got.shape[-1] == x.shape[-1] and np.isfinite(full).all()
+
+
 def test_release_smoothing(rng):
     """Release smoothing inside the fused chain kernel, carried across
     grid steps, matches the oracle's whole-signal scan."""
