@@ -17,16 +17,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 def test_simulated_two_host_config4():
     """2 simulated hosts x 4 virtual devices: config 4 (4096-tap halo
     overlap-save) passes its own >=60 dB parity check across the
-    process boundary."""
+    process boundary.  One retry: the real jax.distributed control plane
+    between the two simulated processes can hit connect/allgather
+    deadlines when the machine is heavily loaded (observed once under a
+    concurrent interpret-mode suite) — a second attempt distinguishes
+    transient timing from a genuine sharded-program regression."""
     env = dict(os.environ)
     env["ASP_INTERPRET_PALLAS"] = "1"
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "launch_multihost.py"),
-         "--simulate", "2", "--devices-per-host", "4", "--port", "9833", "--",
-         os.path.join(REPO, "tools", "run_config_4.py"),
-         "--check", "--json", "--seconds", "1", "--no-fused"],
-        capture_output=True, text=True, env=env, timeout=850,
-    )
+    for attempt, port in enumerate(("9833", "9834")):
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "tools", "launch_multihost.py"),
+             "--simulate", "2", "--devices-per-host", "4", "--port", port,
+             "--",
+             os.path.join(REPO, "tools", "run_config_4.py"),
+             "--check", "--json", "--seconds", "1", "--no-fused"],
+            capture_output=True, text=True, env=env, timeout=850,
+        )
+        if r.returncode == 0:
+            break
     assert r.returncode == 0, f"stdout:\n{r.stdout[-2000:]}\nstderr:\n{r.stderr[-2000:]}"
     recs = [json.loads(l) for l in r.stdout.splitlines()
             if l.startswith("{") and "snr_db_vs_oracle" in l]
