@@ -167,6 +167,36 @@ class TestConfig5Ring:
             tail = out_a[..., 4 * chain.out_block(block):]
             np.testing.assert_array_equal(tail, out_b)
 
+    def test_ring_composite_one_kernel_chain(self):
+        """Ring streaming x micro-batching x the composite env-folded
+        stage: the full resample+FIR+gate+envelope chain runs as ONE
+        Pallas kernel per block behind the ring, and matches
+        Chain.stream."""
+        import importlib
+
+        from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        run_config_5 = importlib.import_module("run_config_5")
+
+        block = 2 * 1176  # 2x the res-step quantum for 160/147 @ 1024/256
+        x = _tone_noise(4, 44100, 1.0)[:, : block * 6]
+        chain = Chain([ResFIRGateStage(
+            up=160, down=147, h=design_fir(64, 0.3), nfft=1024, hop=256,
+            noise_frames=4, env_h=design_fir(129, 0.05))])
+        chain.build()
+        st = chain.init_state((4,), block, jax.numpy.float32)
+        assert isinstance(st[0], dict) and "env_tail" in st[0]
+        with tempfile.TemporaryDirectory() as d:
+            wav = os.path.join(d, "in.wav")
+            write_wav(wav, x, 44100, float_fmt=True)
+            out, nb = run_config_5.run_ring(chain, wav, block, 4,
+                                            batch_blocks=2)
+            assert nb == 6
+            ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
     def test_ring_micro_batched(self):
         """batch_blocks=K pops K blocks per device call and scans
         chain.step over them in ONE jit — same carry semantics, so the
