@@ -81,7 +81,9 @@ def fir_mac(x: jnp.ndarray, h, history: jnp.ndarray | None = None,
     if history is None:
         head = jnp.zeros((b, t - 1), x.dtype)
     else:
-        head = jnp.asarray(history).reshape((-1, t - 1)).astype(x.dtype)
+        # explicit batch dim: reshape((-1, 0)) for a single-tap filter
+        # would divide by the zero trailing dim
+        head = jnp.asarray(history).reshape((b, t - 1)).astype(x.dtype)
     tile = int(min(time_tile, max(128, n)))
     tile = -(-tile // 128) * 128  # Mosaic: last out dim % 128 == 0
     pref = -(-(t - 1) // 128) * 128  # lane-aligned DMA window prefix

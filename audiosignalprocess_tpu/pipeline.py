@@ -417,7 +417,10 @@ class FIRGateStage(Stage):
         self._env = None
         if self.env_h is not None:
             self.env_h = np.asarray(self.env_h, np.float64)
-            self._env = FIRStage(h=self.env_h, nfft=self.nfft, pre="abs",
+            # direct form (== EnvelopeStage): valid for ANY tap count,
+            # unlike overlap-save whose fused kernel needs taps-1 <=
+            # nfft-n2 — this is the fallback for exactly those taps
+            self._env = FIRStage(h=self.env_h, pre="abs",
                                  post_scale=self.env_scale, impl=self.impl,
                                  fused=self.fused)
 
