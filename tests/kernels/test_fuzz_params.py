@@ -82,3 +82,53 @@ def test_resample_fuzz(up, down, n, zp):
     ])
     out = np.asarray(resample_mac(x, up, down, zero_phase=zp, cycle_tile=32))
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+def _cases_env(k):
+    """Random envelope tap counts across the step-kernel geometry range,
+    including row-boundary values (the e0e row round-up) and the
+    fallback region (taps-1 > nfft-n2 or a single tap)."""
+    rng = np.random.default_rng(2029)
+    out = []
+    edge = [2, 128, 129, 257, 897, 898, 1]  # around row/geometry bounds
+    for i in range(k):
+        te = edge[i] if i < len(edge) else int(rng.integers(2, 500))
+        out.append(te)
+    return out
+
+
+@pytest.mark.parametrize("env_taps", _cases_env(7))
+def test_env_fold_fuzz(env_taps):
+    """FIRGateStage(env_h) streaming == composed stages for random env
+    tap counts; out-of-geometry counts take the composed fallback with
+    identical results."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, EnvelopeStage, FIRGateStage, FIRStage, GateStage,
+    )
+
+    rng = np.random.default_rng(env_taps + 7)
+    block = 1024
+    n = block * 4
+    x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+    x[:, n // 3 : 2 * n // 3] += np.sin(np.arange(n // 3)).astype(np.float32)
+    h = oracle.design_fir(64, 0.3)
+    # tiny tap counts are invalid windowed-sinc designs; raw taps are fine
+    he = oracle.design_fir(env_taps, 0.05) if env_taps >= 8 else \
+        rng.standard_normal(env_taps)
+    st = FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4, env_h=he)
+    chain = Chain([st])
+    lat = chain.build()
+    ref_chain = Chain([FIRStage(h=h, nfft=1024),
+                       GateStage(nfft=1024, hop=256, noise_frames=4),
+                       EnvelopeStage(he)])
+    assert ref_chain.build() == lat
+    got = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
+    ref = np.asarray(jax.jit(lambda v: ref_chain.stream(v, block))(x))
+    assert got.shape == ref.shape
+    assert oracle.snr_db(ref + 1e-30, got + 1e-30) >= 80.0
+    fits = env_taps >= 2 and -(-(env_taps - 1) // 128) * 128 <= 1024 - 128
+    assert isinstance(st.init_state((2,), block, jnp.float32),
+                      dict if fits else list)
