@@ -124,3 +124,38 @@ def pitch_shift_file(path_in: str, path_out: str, semitones: float,
         lambda v: pitch_shift(v, semitones, nfft, hop),
         **wav_kw,
     )
+
+
+def chain_file(path_in: str, path_out: str, rate_out: int = 48000,
+               cutoff_hz: float | None = None, numtaps: int = 64,
+               nfft: int = 1024, hop: int = 256,
+               threshold_db: float = 6.0, reduction_db: float = 60.0,
+               noise_frames: int = 8, envelope_hz: float | None = None,
+               env_numtaps: int = 129, block: int | None = None, **wav_kw):
+    """The flagship chain (config 5, BASELINE.json:11) as one call:
+    resample to ``rate_out`` -> FIR lowpass (``cutoff_hz``, default
+    0.3*Nyquist) -> spectral noise gate -> optional envelope demod
+    (``envelope_hz``).  Runs the fused composite stage, so the whole
+    chain streams as ONE Pallas kernel per block when ``block`` is set
+    (must be a multiple of the stage's input quantum;
+    kernels.res_chain_kernel.res_step_geometry) and as the fused
+    whole-file kernels otherwise."""
+    from audiosignalprocess_tpu.pipeline import Chain, ResFIRGateStage
+
+    x, rate = read_wav(path_in)
+    fr = Fraction(rate_out, rate)
+    fc = 2.0 * cutoff_hz / rate_out if cutoff_hz is not None else 0.3
+    env_h = (design_fir(env_numtaps, 2.0 * envelope_hz / rate_out)
+             if envelope_hz is not None else None)
+    chain = Chain([ResFIRGateStage(
+        up=fr.numerator, down=fr.denominator, h=design_fir(numtaps, fc),
+        nfft=nfft, hop=hop, threshold_db=threshold_db,
+        reduction_db=reduction_db, noise_frames=noise_frames, env_h=env_h)])
+    chain.build()
+    if block is not None:
+        n = (x.shape[-1] // block) * block
+        y = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x[:, :n]))
+    else:
+        y = np.asarray(jax.jit(chain.full)(x))
+    write_wav(path_out, y, rate_out, **wav_kw)
+    return y.shape

@@ -89,6 +89,45 @@ def test_time_stretch_file(tone_wav, tmp_path):
     assert 0.4 < y.shape[-1] / 32000 < 0.6
 
 
+def test_chain_file(tmp_path):
+    """The flagship one-call chain (config 5 as a library function):
+    resample 44.1->48k + lowpass + gate (+ envelope), whole-file and
+    one-kernel-per-block streaming, against the composed oracle chain."""
+    fs = 44100
+    rng = np.random.default_rng(3)
+    n = 588 * 120  # resampled length row-aligned
+    x = 0.01 * rng.standard_normal(n)
+    x[20000:50000] += np.sin(2 * np.pi * 440 * np.arange(30000) / fs)
+    p = str(tmp_path / "in.wav")
+    write_wav(p, x.astype(np.float32), fs, float_fmt=True)
+
+    out = str(tmp_path / "chain.wav")
+    shape = api.chain_file(p, out, rate_out=48000, noise_frames=4,
+                           float_fmt=True)
+    y, rate = read_wav(out, dtype=np.float64)
+    assert rate == 48000 and y.shape == tuple(shape)
+    ref = oracle.noise_gate(
+        oracle.fir_direct(
+            oracle.resample_poly(x.astype(np.float64), 160, 147,
+                                 zero_phase=False),
+            oracle.design_fir(64, 0.3)),
+        noise_frames=4)
+    m = min(y.shape[-1], ref.shape[-1])
+    assert oracle.snr_db(ref[:m], y[0, :m]) >= 60.0
+
+    # streaming block path (one Pallas kernel per block) + envelope
+    out2 = str(tmp_path / "chain_env.wav")
+    api.chain_file(p, out2, rate_out=48000, noise_frames=4,
+                   envelope_hz=50.0, block=2 * 1176, float_fmt=True)
+    y2, _ = read_wav(out2, dtype=np.float64)
+    ref2 = oracle.fir_direct(np.abs(ref), oracle.design_fir(
+        129, 2.0 * 50.0 / 48000)) * (np.pi / 2.0)
+    # streaming contract: emitted[latency + i] == full[i]
+    lat = (1024 - 256) + 4 * 256
+    m2 = min(y2.shape[-1] - lat, ref2.shape[-1]) - 1024
+    assert oracle.snr_db(ref2[:m2], y2[0, lat:lat + m2]) >= 60.0
+
+
 def test_envelope_file(tmp_path):
     fs = 16000
     t = np.arange(16000) / fs
