@@ -21,9 +21,18 @@ many real-time 48 kHz channels one chip sustains through the chain).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# honor ASP_FORCE_PLATFORM (the TPU plugin ignores JAX_PLATFORMS; only
+# jax.config works, and it must run before backend init — CLAUDE.md)
+_plat = os.environ.get("ASP_FORCE_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
 
 
 def bench_fir_stft_chain(

@@ -13,6 +13,14 @@ import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor ASP_FORCE_PLATFORM (the TPU plugin ignores JAX_PLATFORMS; only
+# jax.config works, and it must run before backend init — CLAUDE.md)
+_plat = os.environ.get("ASP_FORCE_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 import argparse
 import json
 import time
@@ -67,6 +75,29 @@ def bench_fft(impl: str, batch: int, n: int, iters: int = 20, complex_in=True):
     return dt, flops / dt / 1e9, byts / dt / 1e9
 
 
+def measure_iteration_floor_ms(iters: int = 40) -> float:
+    """Fixed per-`fori_loop`-iteration cost of this backend/transport
+    (~1.4 ms on the relay-attached chip; docs/PERF.md).  Measured with
+    the SAME data-dependent loop harness over a trivially small op, so
+    the number is exactly the constant that inflates every bench_fft
+    row.  Subtracting it gives the marginal (kernel-only) time."""
+    x = jnp.asarray(np.ones((8, 128), np.float32))
+
+    @jax.jit
+    def loop(v):
+        def body(_, c):
+            return c * 1.0000001 + 1e-12
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, v))
+
+    float(loop(x))  # compile + warm
+    best = np.inf
+    for r in range(3):
+        t0 = time.perf_counter()
+        float(loop(x * (1.0 + 1e-6 * r)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
 def measure_achievable_gbps(iters: int = 16) -> float:
     """Measured elementwise HBM bandwidth (read+write a 256 MB array):
     the honest speed-of-light denominator.  Shared/relayed or throttled
@@ -100,32 +131,43 @@ def main():
     args = p.parse_args()
     chip = detect_chip()
     meas = measure_achievable_gbps()
+    floor_ms = measure_iteration_floor_ms()
     # stream every row as it completes (the relayed chip compiles slowly;
     # a buffered report loses everything on timeout)
     if args.json:
         print(json.dumps({"achievable_gbps": round(meas, 1),
-                          "spec_gbps": chip.hbm_gbps}), flush=True)
+                          "spec_gbps": chip.hbm_gbps,
+                          "iteration_floor_ms": round(floor_ms, 3)}),
+              flush=True)
     else:
         print(f"chip: {chip.name} (HBM spec {chip.hbm_gbps} GB/s, "
-              f"measured achievable {meas:.0f} GB/s)", flush=True)
+              f"measured achievable {meas:.0f} GB/s, per-iteration "
+              f"dispatch floor {floor_ms:.2f} ms)", flush=True)
         print(f"{'impl':>10} {'n':>6} {'ms':>8} {'GFLOP/s':>9} {'GB/s':>8} "
-              f"{'SoL/spec':>9} {'SoL/meas':>9}", flush=True)
+              f"{'SoL/spec':>9} {'SoL/meas':>9} {'marginal':>9}", flush=True)
     for impl in args.impls.split(","):
         for n in map(int, args.sizes.split(",")):
             dt, gflops, gbps = bench_fft(impl, args.batch, n,
                                          complex_in=not args.rfft)
+            # marginal = kernel-only: the same row with the measured
+            # fixed per-iteration dispatch cost removed
+            dt_m = max(dt - floor_ms * 1e-3, 1e-9)
+            gbps_m = gbps * dt / dt_m
             r = dict(impl=impl, n=n, batch=args.batch,
                      ms=round(dt * 1e3, 3), gflops=round(gflops, 1),
                      hbm_gbps=round(gbps, 1),
                      roofline_frac=round(gbps / chip.hbm_gbps, 3),
-                     measured_frac=round(gbps / meas, 3))
+                     measured_frac=round(gbps / meas, 3),
+                     marginal_gbps=round(gbps_m, 1),
+                     marginal_frac=round(gbps_m / meas, 3))
             if args.json:
                 print(json.dumps(r), flush=True)
             else:
                 print(f"{r['impl']:>10} {r['n']:>6} {r['ms']:>8} "
                       f"{r['gflops']:>9} {r['hbm_gbps']:>8} "
                       f"{100*r['roofline_frac']:>8.1f}% "
-                      f"{100*r['measured_frac']:>8.1f}%", flush=True)
+                      f"{100*r['measured_frac']:>8.1f}% "
+                      f"{100*r['marginal_frac']:>8.1f}%", flush=True)
 
 
 if __name__ == "__main__":

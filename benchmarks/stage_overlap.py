@@ -30,6 +30,8 @@ import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
+
 import argparse
 import json
 import time
