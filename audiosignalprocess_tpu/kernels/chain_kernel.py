@@ -38,7 +38,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     vmem_tile_cap,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
-    floor_grid, inv_norm_rows, ola_rows,
+    floor_grid, gate_step_masks, inv_norm_rows, ola_rows,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
@@ -249,7 +249,8 @@ def fir_noise_gate_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
-            pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
+            # release-smoothing state (minimal placeholder when off)
+            pltpu.VMEM((tb, n1, n2) if release > 0.0 else (tb, 8, 128), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -423,30 +424,6 @@ def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         etailo_ref)
 
 
-def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
-                    latency, head_norm, const_norm, span_r, n2, dt):
-    """Position-dependent per-block gate-step inputs, shared by the
-    FIR+gate and resample+FIR+gate step wrappers: frame validity /
-    noise-floor-take masks and the WOLA 1/norm rows (head ramp while the
-    block overlaps the whole-file ramp-in region, constant after)."""
-    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
-    valid_f = (starts >= input_latency)
-    take_f = jnp.logical_and(
-        valid_f,
-        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
-        <= noise_frames,
-    )
-    ones_row = jnp.ones((1, n2), dt)
-    valid2 = valid_f.astype(dt)[:, None] * ones_row
-    take2 = take_f.astype(dt)[:, None] * ones_row
-    p0 = state["pos"] - latency - input_latency
-    pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
-    head = jnp.asarray(head_norm, dt)
-    const = jnp.asarray(const_norm, dt)
-    idx = jnp.clip(pvec, 0, d - 1)
-    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-    inorm = (1.0 / norm).reshape(span_r, n2)
-    return valid2, take2, take_f, inorm
 
 
 def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt):
@@ -542,8 +519,9 @@ def fir_gate_step_fused(
     fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
     floor_sum = flat(state["gfloor_sum"])
     ola_tail = flat(state["ola_tail"])
+    # release state: minimal placeholder planes when smoothing is off
     rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
-        (bs, n1, n2), dt)
+        (bs, 8, 128), dt)
 
     # position logic (XLA) — identical to gate_step_fused
     valid2, take2, take_f, inorm = gate_step_masks(
@@ -562,12 +540,14 @@ def fir_gate_step_fused(
         check(etail.shape[-2:] == (e0re, n2),
               f"env_tail must be {(e0re, n2)} rows, got {etail.shape[-2:]}")
 
-    # VMEM-aware batch tile: block frames + spectral FIFO grids (+ the
-    # envelope OS blocks when folded in)
+    # VMEM-aware batch tile: block frames, the noise_frames-deep spectral
+    # FIFO (in/out/concat temporaries), the framing halo (+ the envelope
+    # OS blocks when folded in)
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(16 if env else 12,
-                               (b // hop + nfft // hop) * nfft,
-                               x.dtype.itemsize)))
+                 vmem_tile_cap(
+                     16 if env else 12,
+                     (b // hop + nfft // hop + noise_frames) * nfft,
+                     x.dtype.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a
@@ -594,7 +574,8 @@ def fir_gate_step_fused(
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, dr, n2), dt),
-                 jax.ShapeDtypeStruct((bp, n1, n2), dt)]
+                 jax.ShapeDtypeStruct(rel.shape, dt)]  # placeholder-sized
+                                                       # when release off
     if env:
         out_shape.append(jax.ShapeDtypeStruct((bp, e0re, n2), dt))
     out_shape = tuple(out_shape)

@@ -623,7 +623,9 @@ def fft_radix2_stages(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     rev = jnp.asarray(_bitrev(n))
     xr = jnp.take(xr, rev, axis=-1)
     xi = jnp.take(xi, rev, axis=-1)
-    twc_, tws_ = _stage_twiddles(n, sign)
+    # normalize like the sibling kernels: sign selects the direction only
+    # (a raw magnitude would scale the twiddle angles)
+    twc_, tws_ = _stage_twiddles(n, -1.0 if sign < 0 else 1.0)
     twc, tws = jnp.asarray(twc_, dt), jnp.asarray(tws_, dt)
     tb = min(_batch_tile(n, dt.itemsize), max(8, b))
     bp = -(-b // tb) * tb

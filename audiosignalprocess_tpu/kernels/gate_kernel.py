@@ -23,7 +23,6 @@ XLA prologue.  Output == effects.noise_gate (oracle-pinned).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -192,6 +191,8 @@ def noise_gate_fused(
     dt = x.dtype
     d = nfft - hop
     nframes = 1 + (n - nfft) // hop
+    check(nframes >= noise_frames,
+          f"signal has {nframes} frames < noise_frames={noise_frames}")
     out_len = nfft + (nframes - 1) * hop
     n1, n2 = _grid_split(nfft)
     check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
@@ -255,7 +256,8 @@ def noise_gate_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
-            pltpu.VMEM((tb, n1, n2), dt),  # release-smoothing state
+            # release-smoothing state (minimal placeholder when off)
+            pltpu.VMEM((tb, n1, n2) if release > 0.0 else (tb, 8, 128), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -279,6 +281,40 @@ def noise_gate_fused(
 # emitted samples + carries.  Position logic (frame validity, floor-take
 # counting, WOLA edge normalization) is tiny and stays in XLA; numerics
 # match pipeline.GateStage.step / effects.noise_gate (oracle-pinned).
+
+
+def wola_inorm_rows(pvec, head_norm, const_norm, d, rows, n2, dt):
+    """Streaming WOLA 1/norm rows at output positions ``pvec``: 1.0 in
+    the pre-signal region, the head ramp over [0, d), constant after
+    (the stream never emits the finite-file tail ramp).  Shared by the
+    gate/chain and stretch step wrappers."""
+    head = jnp.asarray(head_norm, dt)
+    const = jnp.asarray(const_norm, dt)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    return (1.0 / norm).reshape(rows, n2)
+
+
+def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
+                    latency, head_norm, const_norm, span_r, n2, dt):
+    """Position-dependent per-block gate-step inputs, shared by the gate,
+    FIR+gate and resample+FIR+gate step wrappers: frame validity /
+    noise-floor-take masks and the WOLA 1/norm rows (head ramp while the
+    block overlaps the whole-file ramp-in region, constant after)."""
+    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
+    valid_f = (starts >= input_latency)
+    take_f = jnp.logical_and(
+        valid_f,
+        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
+        <= noise_frames,
+    )
+    ones_row = jnp.ones((1, n2), dt)
+    valid2 = valid_f.astype(dt)[:, None] * ones_row
+    take2 = take_f.astype(dt)[:, None] * ones_row
+    p0 = state["pos"] - latency - input_latency
+    pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
+    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, span_r, n2, dt)
+    return valid2, take2, take_f, inorm
 
 
 def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
@@ -371,27 +407,15 @@ def gate_step_fused(
     fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
     floor_sum = flat(state["gfloor_sum"])
     ola_tail = flat(state["ola_tail"])
+    # release state: minimal placeholder planes when smoothing is off
+    # (the kernel's else-branch only copies rel -> relo)
     rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
-        (bs, n1, n2), dt)
+        (bs, 8, 128), dt)
 
     # position logic (XLA): frame validity, floor-take counting, WOLA norm
-    starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
-    valid_f = (starts >= input_latency)
-    take_f = jnp.logical_and(
-        valid_f,
-        state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
-        <= noise_frames,
-    )
-    ones_row = jnp.ones((1, n2), dt)
-    valid2 = valid_f.astype(dt)[:, None] * ones_row          # (m, n2)
-    take2 = take_f.astype(dt)[:, None] * ones_row
-    p0 = state["pos"] - latency - input_latency
-    pvec = p0 + jnp.arange(b, dtype=jnp.int32)
-    head = jnp.asarray(head_norm, dt)
-    const = jnp.asarray(const_norm, dt)
-    idx = jnp.clip(pvec, 0, d - 1)
-    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-    inorm = (1.0 / norm).reshape(br, n2)
+    valid2, take2, take_f, inorm = gate_step_masks(
+        state, m, b, d, hop, noise_frames, input_latency, latency,
+        head_norm, const_norm, br, n2, dt)
 
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
@@ -399,11 +423,13 @@ def gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    # VMEM-aware batch tile: the step holds the block's frames plus the
-    # nfft/hop-deep spectral FIFO as live grids (~12 planes)
+    # VMEM-aware batch tile: the step holds the block's frames, the
+    # noise_frames-deep spectral FIFO (in, out, and concat temporaries),
+    # and the nfft/hop framing halo as live grids
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(12, (b // hop + nfft // hop) * nfft,
-                               x.dtype.itemsize)))
+                 vmem_tile_cap(
+                     12, (b // hop + nfft // hop + noise_frames) * nfft,
+                     x.dtype.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a
@@ -430,7 +456,8 @@ def gate_step_fused(
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, dr, n2), dt),
-                 jax.ShapeDtypeStruct((bp, n1, n2), dt))
+                 jax.ShapeDtypeStruct(rel.shape, dt))  # placeholder-sized
+                                                       # when release off
     out_specs = tuple(bs_b(s.shape) for s in out_shape)
     y3, fro, fio, fso, oto, relo = pl.pallas_call(
         functools.partial(_gate_step_kernel, m, hr, nr, dr, n1, n2,

@@ -313,7 +313,8 @@ def resample_fir_gate_fused(
         scratch_shapes=[
             pltpu.VMEM((2, tb, k5, w5p), dt),
             pltpu.VMEM((tb, dr, n2), dt),
-            pltpu.VMEM((tb, n1, n2), dt),
+            # release-smoothing state (minimal placeholder when off)
+            pltpu.VMEM((tb, n1, n2) if release > 0.0 else (tb, 8, 128), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -565,8 +566,9 @@ def res_fir_gate_step_fused(
     fifo_r, fifo_i = flat(state["gfifo_r"]), flat(state["gfifo_i"])
     floor_sum = flat(state["gfloor_sum"])
     ola_tail = flat(state["ola_tail"])
+    # release state: minimal placeholder planes when smoothing is off
     rel = flat(state["grel"]) if release > 0.0 else jnp.zeros(
-        (bs, n1, n2), dt)
+        (bs, 8, 128), dt)
     from audiosignalprocess_tpu.kernels.chain_kernel import (
         fir_gate_step_tables, gate_step_masks,
     )
@@ -595,11 +597,14 @@ def res_fir_gate_step_fused(
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
-    # VMEM-aware batch tile: resampled block frames + spectral FIFO grids
-    # (+ the envelope OS blocks when folded in)
+    # VMEM-aware batch tile: resampled block frames, the noise_frames-deep
+    # spectral FIFO (in/out/concat temporaries), the framing halo (+ the
+    # envelope OS blocks when folded in)
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(18 if env else 14, (m + nfft // hop) * nfft,
-                               dt.itemsize)))
+                 vmem_tile_cap(
+                     18 if env else 14,
+                     (m + nfft // hop + noise_frames) * nfft,
+                     dt.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
         if bp != bs else a
@@ -626,7 +631,8 @@ def res_fir_gate_step_fused(
                  jax.ShapeDtypeStruct((bp, noise_frames, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, n1, n2), dt),
                  jax.ShapeDtypeStruct((bp, dr, n2), dt),
-                 jax.ShapeDtypeStruct((bp, n1, n2), dt),
+                 jax.ShapeDtypeStruct(rel.shape, dt),  # placeholder-sized
+                                                       # when release off
                  jax.ShapeDtypeStruct((bp, dr + e0r, n2), dt)]
     if env:
         out_shape.append(jax.ShapeDtypeStruct((bp, e0re, n2), dt))

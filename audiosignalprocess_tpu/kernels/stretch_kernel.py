@@ -48,7 +48,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     fourstep_grid_inv_real,
     grid_table_arrays,
 )
-from audiosignalprocess_tpu.kernels.gate_kernel import ola_rows
+from audiosignalprocess_tpu.kernels.gate_kernel import ola_rows, wola_inorm_rows
 from audiosignalprocess_tpu.utils.validate import check
 
 
@@ -167,20 +167,16 @@ def stretch_step_fused(
     i_glob = blk * mo + jnp.arange(mo, dtype=jnp.int32) - off
     emit2 = (i_glob >= 0).astype(dt)[:, None] * ones_row        # (mo, n2)
     pvec = (blk * mo - off) * hop + jnp.arange(mo * hop, dtype=jnp.int32)
-    head = jnp.asarray(head_norm, dt)
-    const = jnp.asarray(const_norm, dt)
-    idx = jnp.clip(pvec, 0, d - 1)
-    norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-    inorm = (1.0 / norm).reshape(mo * hr, n2)
+    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, mo * hr, n2, dt)
 
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = grid_table_arrays(nfft, dt, (n1, n2))
 
     # VMEM-aware batch tile: analysis+synthesis frame grids, rotor planes
-    # and the spectral FIFO live together (~14 planes)
+    # and the depth-deep spectral FIFO (in/out/concat temporaries)
     tb = int(min(batch_tile, bs,
-                 vmem_tile_cap(14, (b // hop + nfft // hop) * nfft,
+                 vmem_tile_cap(14, (b // hop + nfft // hop + depth) * nfft,
                                dt.itemsize)))
     bp = -(-bs // tb) * tb
     pad_b = lambda a: jnp.pad(a, ((0, bp - bs),) + ((0, 0),) * (a.ndim - 1)) \
