@@ -18,7 +18,6 @@ overlap-save FFT kernel.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

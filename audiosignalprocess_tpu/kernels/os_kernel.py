@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import math
-import os
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +42,7 @@ from audiosignalprocess_tpu.utils.validate import check
 
 
 
-def _os_kernel(nfft, br, e0r, nb, nt, n1, n2,
+def _os_kernel(br, e0r, nb, nt, n1, n2,
                x_hbm, c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                o_ref, win, sem):
     """Grid (batch_tiles, span_tiles); win: (2, tb, wrows, n2) row-space."""
@@ -134,8 +133,9 @@ def overlap_save_fused(
         hist = jnp.asarray(history).reshape((bsz, t - 1)).astype(dt)
     # prefix = e0 samples: (e0 - (t-1)) zeros then the true history
     pre = jnp.zeros((bsz, e0 - (t - 1)), dt)
-    # right-pad so the final span's (row-aligned) DMA window is in bounds
-    rpad = (nt - 1) * span + wfetch * n2 - n
+    # right-pad so the final span's (row-aligned) DMA window is in bounds:
+    # xp already holds e0 + n samples (prefix + signal)
+    rpad = (nt - 1) * span + wfetch * n2 - n - e0
     xp = jnp.concatenate(
         [pre, hist, xf, jnp.zeros((bsz, max(0, rpad)), dt)], axis=-1
     )
@@ -159,7 +159,7 @@ def overlap_save_fused(
     # 4D output (batch, block, row, n2): last two dims equal the array's,
     # so Mosaic's (8, 128) divisibility rule is satisfied for any shape.
     y = pl.pallas_call(
-        functools.partial(_os_kernel, nfft, br, e0r, nb, nt, n1, n2),
+        functools.partial(_os_kernel, br, e0r, nb, nt, n1, n2),
         grid=(bp // tb, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [bs_c(c.shape) for c in consts],

@@ -58,7 +58,7 @@ def _lcm(a: int, b: int) -> int:
     return a * b // gcd(a, b)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)  # keys hold full tap tuples: bound them
 def _row_phase_matrices(h_key, up: int, down: int, n2: int):
     """Per-row supercycle phase matrices: M5 (R5, W5, n2) float64 with
     y[lcm*t5 + n2*q + l] = sum_i M5[q, i, l] * x[D5*t5 + base + i]."""

@@ -27,7 +27,6 @@ sparse gather.
 from __future__ import annotations
 
 import functools
-import os
 from math import gcd
 
 import jax
@@ -44,7 +43,7 @@ from audiosignalprocess_tpu.utils.validate import check
 
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)  # keys hold full tap tuples: bound them
 def _phase_matrix(h_key, up: int, down: int, delay: int):
     """Static (M, base, R): M (up, R*down) float64; window = x[down*t + base + i]."""
     h = np.asarray(h_key, dtype=np.float64)
@@ -140,11 +139,13 @@ def resample_mac(
     )
     if shift:
         xp = xp[:, shift:]
+    # lane-padded window width (shared by the VMEM model, the V padding,
+    # and the BlockSpecs — one variable so they cannot disagree)
+    wp = -(-w // 128) * 128
     # VMEM-aware batch tile: ~6 live (tb, tcyc, wp|up) planes per step
     # (phase window, hi/lo splits, products, out)
-    wp0 = -(-w // 128) * 128
     tb = int(min(batch_tile, b,
-                 vmem_tile_cap(6, tcyc * max(wp0, up), x.dtype.itemsize)))
+                 vmem_tile_cap(6, tcyc * max(wp, up), x.dtype.itemsize)))
     bp = -(-b // tb) * tb
     if bp != b:
         xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
@@ -153,7 +154,6 @@ def resample_mac(
     # window width to a lane multiple for clean MXU tiling.
     x3 = xp[:, : nrows * down].reshape(bp, nrows, down)
     v = jnp.concatenate([x3[:, q : q + ncp, :] for q in range(r)], axis=-1)
-    wp = -(-w // 128) * 128
     if wp != w:
         v = jnp.pad(v, ((0, 0), (0, 0), (0, wp - w)))
     m_pad = np.zeros((wp, up))

@@ -74,6 +74,31 @@ def _wola_head_norm(nfft: int, hop: int, window_kind: str) -> np.ndarray:
     return np.maximum(norm, max(oracle.WOLA_EDGE_REL * const, 1e-12))
 
 
+def _wola_ola_emit(out_frames, ola_tail, hop, nfft, pvec, head_np, const,
+                   dtype):
+    """Blockwise WOLA synthesis shared by the gate and stretch jnp steps:
+    overlap-add the synthesized frames with the d-sample tail carry, then
+    normalize at output positions ``pvec`` (1.0 pre-signal, head ramp
+    over [0, d), constant after).  Returns (y, new_tail)."""
+    d = nfft - hop
+    r = nfft // hop
+    m = out_frames.shape[-2]
+    b_out = m * hop
+    fr = out_frames.reshape(out_frames.shape[:-1] + (r, hop))
+    rows = m + r - 1
+    acc = jnp.zeros(out_frames.shape[:-2] + (rows, hop), dtype)
+    for j in range(r):
+        acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
+    acc = acc.reshape(out_frames.shape[:-2] + (rows * hop,))[..., : b_out + d]
+    acc = acc.at[..., :d].add(ola_tail)
+    head = jnp.asarray(head_np, dtype)
+    idx = jnp.clip(pvec, 0, d - 1)
+    norm = jnp.where(pvec < 0, 1.0,
+                     jnp.where(pvec < d, head[idx],
+                               jnp.asarray(const, dtype)))
+    return acc[..., :b_out] / norm, acc[..., b_out:]
+
+
 class Stage:
     """Streaming stage protocol.  Latency is in output samples."""
 
@@ -112,11 +137,19 @@ class FIRStage(Stage):
     def _apply(self, x, history):
         if self.pre == "abs":
             x = jnp.abs(x)
+        fused = self.fused
+        if fused and jnp.dtype(x.dtype) == jnp.float64:
+            # TPU has no f64: the STAGE takes the jnp path instead of the
+            # fused kernel's clear error (interpret mode keeps f64 fused
+            # for CPU verification)
+            from audiosignalprocess_tpu.kernels.fft_kernel import _interpret
+
+            fused = _interpret()
         if self.nfft is not None:
             y = overlap_save(x, self.h, self.nfft, history=history,
-                             impl=self.impl, fused=self.fused)
+                             impl=self.impl, fused=fused)
         else:
-            y = fir_direct(x, self.h, history=history, fused=self.fused)
+            y = fir_direct(x, self.h, history=history, fused=fused)
         return y * self.post_scale if self.post_scale != 1.0 else y
 
     def full(self, x):
@@ -251,13 +284,11 @@ class GateStage(Stage):
             # cannot frame in row space — fall through to the jnp carry
         d = self.nfft - self.hop
         nbins = self.nfft // 2 + 1
-        cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         # the spectral FIFO is carried PLANAR (re/im): complex arrays in a
         # jit entry signature break some TPU transports (the ring driver's
         # per-block step; lax.scan hides the carry, but the contract is
         # one carry format everywhere) — and planar is the TPU-native
         # layout anyway
-        del cdt
         st = dict(
             in_tail=jnp.zeros(batch + (d,), dtype),
             fifo_r=jnp.zeros(batch + (self.noise_frames, nbins), dtype),
@@ -294,7 +325,6 @@ class GateStage(Stage):
         b = x.shape[-1]
         m = b // self.hop
         d = self.nfft - self.hop
-        r = self.nfft // self.hop
         dtype = x.dtype
         w = jnp.asarray(window_np(self.window_kind, self.nfft), dtype)
         ext = jnp.concatenate([state["in_tail"], x], axis=-1)  # (..., b + d)
@@ -341,26 +371,15 @@ class GateStage(Stage):
             mask = jnp.concatenate(rows, axis=-2)
             rel_state = s
         out_frames = fft_ops.irfft(popped * mask, self.nfft, impl=self.impl) * w
-        # OLA of popped frames into a (b + d) accumulator
-        fr = out_frames.reshape(out_frames.shape[:-1] + (r, self.hop))
-        rows = m + r - 1
-        acc = jnp.zeros(x.shape[:-1] + (rows, self.hop), dtype)
-        for j in range(r):
-            acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
-        acc = acc.reshape(x.shape[:-1] + (rows * self.hop,))[..., : b + d]
-        acc = acc.at[..., :d].add(state["ola_tail"])
-        emit_num = acc[..., :b]
-        ola_tail = acc[..., b:]
-        # normalization: emitted samples are stream positions
+        # OLA + WOLA normalization: emitted samples are stream positions
         # [pos - latency, pos - latency + b); output position rel. true
         # stream start = p - input_latency; ramp for [0, d), const after.
         p0 = state["pos"] - self.latency - self.input_latency
         pvec = p0 + jnp.arange(b, dtype=jnp.int32)
-        head = jnp.asarray(self._head_norm(), dtype)
-        const = jnp.asarray(self._norm_const(), dtype)
-        idx = jnp.clip(pvec, 0, d - 1)
-        norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-        y = emit_num / norm
+        y, ola_tail = _wola_ola_emit(out_frames, state["ola_tail"],
+                                     self.hop, self.nfft, pvec,
+                                     self._head_norm(), self._norm_const(),
+                                     dtype)
         new_state = dict(
             in_tail=ext[..., -d:],
             fifo_r=fifo_r,
@@ -872,28 +891,14 @@ class StretchStage(Stage):
         cdt = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
         synth = (mag * (phr + 1j * phi_)).astype(cdt)
         out_frames = fft_ops.irfft(synth, self.nfft, impl=self.impl) * w
-        # OLA of mo frames -> mo*hop emitted + d tail (same as GateStage)
-        r = self.nfft // self.hop
-        fr4 = out_frames.reshape(out_frames.shape[:-1] + (r, self.hop))
-        rows = mo + r - 1
-        acc_ola = jnp.zeros(x.shape[:-1] + (rows, self.hop), dtype)
-        for j in range(r):
-            acc_ola = acc_ola.at[..., j : j + mo, :].add(fr4[..., :, j, :])
-        acc_ola = acc_ola.reshape(x.shape[:-1] + (rows * self.hop,))
-        acc_ola = acc_ola[..., : mo * self.hop + d]
-        acc_ola = acc_ola.at[..., :d].add(state["ola_tail"])
-        emit_num = acc_ola[..., : mo * self.hop]
-        ola_tail = acc_ola[..., mo * self.hop :]
-        # WOLA norm at whole-file-output positions (head ramp + const)
+        # OLA + WOLA norm at whole-file-output positions (same helper as
+        # GateStage.step)
         pvec = (state["blk"] * mo - self.off) * self.hop + jnp.arange(
             mo * self.hop, dtype=jnp.int32)
-        head = jnp.asarray(_wola_head_norm(self.nfft, self.hop,
-                                           self.window_kind), dtype)
-        const = jnp.asarray(_wola_const_norm(self.nfft, self.hop,
-                                             self.window_kind), dtype)
-        idx = jnp.clip(pvec, 0, d - 1)
-        norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
-        y = emit_num / norm
+        y, ola_tail = _wola_ola_emit(
+            out_frames, state["ola_tail"], self.hop, self.nfft, pvec,
+            _wola_head_norm(self.nfft, self.hop, self.window_kind),
+            _wola_const_norm(self.nfft, self.hop, self.window_kind), dtype)
         new_state = dict(
             in_tail=ext[..., -d:],
             fifo_r=fifo_r,
