@@ -38,7 +38,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     vmem_tile_cap,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
-    floor_grid, gate_step_masks, inv_norm_rows, ola_rows,
+    carry_tail_rows, floor_grid, gate_step_masks, inv_norm_rows, ola_rows,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
@@ -172,6 +172,10 @@ def fir_noise_gate_fused(
     b = ((nfft - e0) // n2) * n2
     check(b >= n2, 'guard failed: b >= n2')
     br, e0r = b // n2, e0 // n2
+    check(br >= 3 or e0r % 8 == 0,
+          f"taps {t} leave only {br} valid overlap-save rows at an "
+          f"8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
 
     batch = x.shape[:-1]
     n = x.shape[-1]
@@ -324,8 +328,8 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
     buf_r = jnp.concatenate([fr_ref[:], gr], axis=1)
     buf_i = jnp.concatenate([fi_ref[:], gi], axis=1)
     pr2, pi2 = buf_r[:, :m], buf_i[:, :m]
-    fro_ref[:] = buf_r[:, m:]
-    fio_ref[:] = buf_i[:, m:]
+    fro_ref[:] = carry_tail_rows(fr_ref[:], gr)
+    fio_ref[:] = carry_tail_rows(fi_ref[:], gi)
     floor = (fs_new * (1.0 / nf))[:, None]
     pmag = jnp.sqrt(pr2 * pr2 + pi2 * pi2)
     mask = jnp.where(pmag > floor * thresh_gain, 1.0, att).astype(pr2.dtype)
@@ -357,7 +361,7 @@ def envelope_step_rows(e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
     SURVEY.md §2 row 12).  yrows: (tb, span_r, n2) gate-output rows;
     returns the envelope rows of the same shape."""
     a = jnp.abs(yrows)
-    etailo_ref[:] = jnp.concatenate([etail_ref[:], a], axis=1)[:, -e0re:]
+    etailo_ref[:] = carry_tail_rows(etail_ref[:], a)
     pieces = [etail_ref[:], a]
     if zpad_e:
         # zero future rows: outputs at in-block positions use causal taps
@@ -447,6 +451,10 @@ def envelope_step_geometry(env_h, nfft, span_r, nr, n1, n2, dt):
           f"envelope taps {te} need e0={e0e} > nfft-{n2}: raise nfft")
     e0re = e0e // n2
     bre = (nfft - e0e) // n2
+    check(bre >= 3 or e0re % 8 == 0,
+          f"envelope taps {te} leave only {bre} valid overlap-save rows "
+          f"at an 8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
     nb_e = -(-span_r // bre)
     wrows_e = (nb_e - 1) * bre + nr
     zpad_e = max(0, wrows_e - (e0re + span_r))
@@ -508,6 +516,10 @@ def fir_gate_step_fused(
     e0r = e0 // n2
     br = (nfft - e0) // n2
     check(br >= 1, f"taps {t} leave no valid overlap-save rows at nfft={nfft}")
+    check(br >= 3 or e0r % 8 == 0,
+          f"taps {t} leave only {br} valid overlap-save rows at an "
+          f"8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
     nb_os = -(-(dr + span_r) // br)
     wrows_need = (nb_os - 1) * br + nr
     zpad_r = max(0, wrows_need - (dr + e0r + span_r))

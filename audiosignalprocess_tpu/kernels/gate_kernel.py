@@ -70,6 +70,28 @@ def inv_norm_rows(wv_np, nfft, hop, nframes, total_len):
     return np.concatenate([inv, np.ones(total_len - out_len)])
 
 
+def carry_tail_rows(prev, new):
+    """Next cross-block carry: the last ``prev.shape[1]`` rows of
+    ``concat([prev, new], axis=1)``, sliced at an 8-ALIGNED sublane
+    offset.  Mosaic's lower-to-LLO pass hits a ``d >> 32 == 0`` CHECK
+    (libtpu SIGABRT, not a catchable trace error) on sublane slices of
+    in-kernel values at 8-unaligned row offsets for some geometries
+    (measured matrix: docs/KERNELS.md §1); left-padding with zero rows
+    so the slice offset lands on a sublane-tile boundary compiles at
+    every measured geometry.  Shared by every fused step kernel's
+    FIFO/tail update (axis 1 row carries, any trailing dims)."""
+    rows = prev.shape[1]
+    m = new.shape[1]
+    if m == rows:
+        return new
+    pad = (-m) % 8
+    pieces = [prev, new]
+    if pad:
+        pieces.insert(0, jnp.zeros(
+            prev.shape[:1] + (pad,) + prev.shape[2:], prev.dtype))
+    return jnp.concatenate(pieces, axis=1)[:, pad + m:]
+
+
 def ola_rows(y, spill, mf, hr, dr, n2):
     """Row-space overlap-add of mf frames with a cross-step spill carry.
 
@@ -339,8 +361,8 @@ def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
     buf_r = jnp.concatenate([fr_ref[:], sr], axis=1)  # (tb, nf+m, n1, n2)
     buf_i = jnp.concatenate([fi_ref[:], si], axis=1)
     pr, pi = buf_r[:, :m], buf_i[:, :m]
-    fro_ref[:] = buf_r[:, m:]
-    fio_ref[:] = buf_i[:, m:]
+    fro_ref[:] = carry_tail_rows(fr_ref[:], sr)
+    fio_ref[:] = carry_tail_rows(fi_ref[:], si)
     floor = (fs_new * (1.0 / nf))[:, None]            # (tb, 1, n1, n2)
     pmag = jnp.sqrt(pr * pr + pi * pi)
     mask = jnp.where(pmag > floor * thresh_gain, 1.0, att).astype(pr.dtype)

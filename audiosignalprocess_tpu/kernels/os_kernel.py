@@ -110,6 +110,10 @@ def overlap_save_fused(
     b = ((nfft - e0) // n2) * n2
     check(b >= n2, f"nfft={nfft} too small for {t} taps with row width {n2}")
     br, e0r = b // n2, e0 // n2
+    check(br >= 3 or e0r % 8 == 0,
+          f"taps {t} leave only {br} valid overlap-save rows at an "
+          f"8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
     batch = x.shape[:-1]
     n = x.shape[-1]
     xf = x.reshape((-1, n))

@@ -45,7 +45,9 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     grid_table_arrays,
     tap_spectrum_grid,
 )
-from audiosignalprocess_tpu.kernels.gate_kernel import floor_grid, inv_norm_rows
+from audiosignalprocess_tpu.kernels.gate_kernel import (
+    carry_tail_rows, floor_grid, inv_norm_rows,
+)
 from audiosignalprocess_tpu.kernels.resample_kernel import _phase_matrix
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
@@ -367,8 +369,7 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
     from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
 
     xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
-    tailo_ref[:] = jnp.concatenate([tail_ref[:], xrows],
-                                   axis=1)[:, -(dr + e0r):]
+    tailo_ref[:] = carry_tail_rows(tail_ref[:], xrows)
     y_ref[:] = fir_gate_step_rows(
         m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         nf, thresh_gain, att, release,
@@ -400,8 +401,7 @@ def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
     )
 
     xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
-    tailo_ref[:] = jnp.concatenate([tail_ref[:], xrows],
-                                   axis=1)[:, -(dr + e0r):]
+    tailo_ref[:] = carry_tail_rows(tail_ref[:], xrows)
     rows = fir_gate_step_rows(
         m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         nf, thresh_gain, att, release,
@@ -539,6 +539,10 @@ def res_fir_gate_step_fused(
     e0r = e0 // n2
     br = (nfft - e0) // n2
     check(br >= 1, f"taps {t} leave no valid overlap-save rows at nfft={nfft}")
+    check(br >= 3 or e0r % 8 == 0,
+          f"taps {t} leave only {br} valid overlap-save rows at an "
+          f"8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
     nb_os = -(-(dr + span_r) // br)
     wrows_need = (nb_os - 1) * br + nr
     zpad_r = max(0, wrows_need - (dr + e0r + span_r))

@@ -48,7 +48,9 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     fourstep_grid_inv_real,
     grid_table_arrays,
 )
-from audiosignalprocess_tpu.kernels.gate_kernel import ola_rows, wola_inorm_rows
+from audiosignalprocess_tpu.kernels.gate_kernel import (
+    carry_tail_rows, ola_rows, wola_inorm_rows,
+)
 from audiosignalprocess_tpu.utils.validate import check
 
 
@@ -73,8 +75,8 @@ def _stretch_step_kernel(m, mo, hr, nr, dr, n1, n2, depth, slots, fracs,
     z0ro_ref[:] = z0r
     z0io_ref[:] = z0i
     # analysis FIFO: push m new frames, keep the last `depth`
-    buf_r = jnp.concatenate([fr_ref[:], sr], axis=1)[:, -depth:]
-    buf_i = jnp.concatenate([fi_ref[:], si], axis=1)[:, -depth:]
+    buf_r = carry_tail_rows(fr_ref[:], sr)
+    buf_i = carry_tail_rows(fi_ref[:], si)
     fro_ref[:] = buf_r
     fio_ref[:] = buf_i
     # static slot reads for the mo synthesis frames

@@ -453,23 +453,30 @@ class FIRGateStage(Stage):
         return input_latency + self.latency
 
     def _env_fits(self) -> bool:
-        """Envelope taps fit the fused step kernel's overlap-save: at
-        least one valid row must remain (taps-1 rounded to rows <= nfft -
-        n2) and the tail carry needs >= 1 row (taps >= 2).  Outside that,
-        the stage composes [_fir, _gate, _env] instead (same numerics)."""
+        """Envelope taps fit the fused step kernel's overlap-save: the
+        tail carry needs >= 1 row (taps >= 2) and the valid-row slice
+        must dodge the Mosaic unaligned-small-slice crash class (>= 3
+        valid rows, or an 8-aligned row offset — kernel guard /
+        docs/KERNELS.md constraint 7).  Outside that, the stage composes
+        [_fir, _gate, _env] instead (same numerics)."""
         if self.env_h is None:
             return True
+        return self._os_rows_ok(len(self.env_h)) and len(self.env_h) >= 2
+
+    def _os_rows_ok(self, taps: int) -> bool:
         from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
 
-        te = len(self.env_h)
         n2 = _grid_split(self.nfft)[1]
-        return te >= 2 and -(-(te - 1) // n2) * n2 <= self.nfft - n2
+        e0r = -(-(taps - 1) // n2)
+        br = self.nfft // n2 - e0r
+        return br >= 3 or (br >= 1 and e0r % 8 == 0)
 
     def _fused_ok(self, dtype) -> bool:
         from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
 
         return (self.fused and dtype != jnp.float64
                 and self.hop % _grid_split(self.nfft)[1] == 0
+                and self._os_rows_ok(len(self.h))
                 and self._env_fits())
 
     def full(self, x):
@@ -607,6 +614,7 @@ class ResFIRGateStage(Stage):
 
         if not (self.fused and dtype != jnp.float64
                 and self.hop % _grid_split(self.nfft)[1] == 0
+                and self._fg._os_rows_ok(len(self.h))
                 and self._fg._env_fits()):
             return False
         if block is None:

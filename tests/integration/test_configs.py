@@ -154,16 +154,16 @@ class TestConfig5Ring:
         with tempfile.TemporaryDirectory() as d:
             wav = os.path.join(d, "in.wav")
             write_wav(wav, x, 44100, float_fmt=True)
-            out, nb = run_config_5.run_ring(chain, wav, block, 4)
+            out, nb, _ = run_config_5.run_ring(chain, wav, block, 4)
             assert nb == 8
             ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
             assert out.shape == ref.shape
             np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
             # restart-from-block: checkpoint at block 4, resume, tail equal
             ck = os.path.join(d, "carry.npz")
-            out_a, _ = run_config_5.run_ring(chain, wav, block, 4,
+            out_a, _, _ = run_config_5.run_ring(chain, wav, block, 4,
                                              ckpt=(ck, 4))
-            out_b, _ = run_config_5.run_ring(chain, wav, block, 4, resume=ck)
+            out_b, _, _ = run_config_5.run_ring(chain, wav, block, 4, resume=ck)
             tail = out_a[..., 4 * chain.out_block(block):]
             np.testing.assert_array_equal(tail, out_b)
 
@@ -190,7 +190,7 @@ class TestConfig5Ring:
         with tempfile.TemporaryDirectory() as d:
             wav = os.path.join(d, "in.wav")
             write_wav(wav, x, 44100, float_fmt=True)
-            out, nb = run_config_5.run_ring(chain, wav, block, 4,
+            out, nb, _ = run_config_5.run_ring(chain, wav, block, 4,
                                             batch_blocks=2)
             assert nb == 6
             ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
@@ -220,16 +220,16 @@ class TestConfig5Ring:
             wav = os.path.join(d, "in.wav")
             write_wav(wav, x, 44100, float_fmt=True)
             # 8 blocks at K=3: full batches 3+3, single-step tail 1+1
-            out, nb = run_config_5.run_ring(chain, wav, block, 4,
+            out, nb, _ = run_config_5.run_ring(chain, wav, block, 4,
                                             batch_blocks=3)
             assert nb == 8
             ref = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
             assert out.shape == ref.shape
             np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
             ck = os.path.join(d, "carry.npz")
-            out_a, _ = run_config_5.run_ring(chain, wav, block, 4,
+            out_a, _, _ = run_config_5.run_ring(chain, wav, block, 4,
                                              ckpt=(ck, 4), batch_blocks=3)
-            out_b, _ = run_config_5.run_ring(chain, wav, block, 4,
+            out_b, _, _ = run_config_5.run_ring(chain, wav, block, 4,
                                              resume=ck, batch_blocks=3)
             tail = out_a[..., 4 * chain.out_block(block):]
             np.testing.assert_array_equal(tail, out_b)

@@ -129,6 +129,10 @@ def test_env_fold_fuzz(env_taps):
     ref = np.asarray(jax.jit(lambda v: ref_chain.stream(v, block))(x))
     assert got.shape == ref.shape
     assert oracle.snr_db(ref + 1e-30, got + 1e-30) >= 80.0
-    fits = env_taps >= 2 and -(-(env_taps - 1) // 128) * 128 <= 1024 - 128
+    # fused-fit rule == FIRGateStage._os_rows_ok: >= 3 valid OS rows
+    # (the <= 2-row unaligned slice is a Mosaic lowering crash class,
+    # docs/KERNELS.md constraint 7), tail carry >= 1 row
+    e0re = -(-(env_taps - 1) // 128)
+    fits = env_taps >= 2 and 8 - e0re >= 3
     assert isinstance(st.init_state((2,), block, jnp.float32),
                       dict if fits else list)

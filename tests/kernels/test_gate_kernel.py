@@ -66,3 +66,25 @@ def test_release_smoothing(rng, release):
     ref = np.stack([oracle.noise_gate(x[c], release=release) for c in range(2)])
     out = np.asarray(noise_gate_fused(x, release=release, frames_per_step=8))
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_carry_tail_rows_matches_concat_slice():
+    """carry_tail_rows == concat([prev, new], axis=1)[:, -rows:] for
+    every rows/m relation (m < rows, == rows, > rows) and trailing-dim
+    rank.  The helper exists to dodge a Mosaic unaligned-small-slice
+    lowering crash (docs/KERNELS.md constraint 7); numerics must be
+    exactly the reference slice."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.kernels.gate_kernel import carry_tail_rows
+
+    r = np.random.default_rng(0)
+    for rows, m in [(1, 20), (2, 21), (8, 20), (8, 8), (4, 3), (5, 2),
+                    (7, 1)]:
+        for trail in [(128,), (8, 128)]:
+            prev = r.standard_normal((2, rows) + trail).astype(np.float32)
+            new = r.standard_normal((2, m) + trail).astype(np.float32)
+            ref = np.concatenate([prev, new], axis=1)[:, -rows:]
+            got = np.asarray(carry_tail_rows(jnp.asarray(prev),
+                                             jnp.asarray(new)))
+            np.testing.assert_array_equal(got, ref)
