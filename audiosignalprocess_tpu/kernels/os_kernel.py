@@ -42,7 +42,7 @@ from audiosignalprocess_tpu.utils.validate import check
 
 
 
-def _os_kernel(br, e0r, nb, nt, n1, n2,
+def _os_kernel(br, e0r, padr, nb, nt, n1, n2,
                x_hbm, c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                o_ref, win, sem):
     """Grid (batch_tiles, span_tiles); win: (2, tb, wrows, n2) row-space."""
@@ -81,8 +81,11 @@ def _os_kernel(br, e0r, nb, nt, n1, n2,
     pi_ = sr * hi + si * hr
     y = fourstep_grid_inv_real(pr, pi_, n1, n2,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
-    # emit rows [e0r, e0r + br): the b valid new samples per block
-    o_ref[:] = y[:, :, e0r : e0r + br, :]
+    # emit rows [e0r - padr, e0r + br): the b valid new samples per block,
+    # left-padded with padr discard rows so the sublane slice offset is
+    # 8-aligned (same Mosaic crash class / fix as gate_kernel.
+    # carry_tail_rows; the pad rows are dropped in XLA after the call)
+    o_ref[:] = y[:, :, e0r - padr : e0r + br, :]
 
 
 def overlap_save_fused(
@@ -110,10 +113,12 @@ def overlap_save_fused(
     b = ((nfft - e0) // n2) * n2
     check(b >= n2, f"nfft={nfft} too small for {t} taps with row width {n2}")
     br, e0r = b // n2, e0 // n2
-    check(br >= 3 or e0r % 8 == 0,
-          f"taps {t} leave only {br} valid overlap-save rows at an "
-          f"8-unaligned row offset — a Mosaic lowering crash class "
-          f"(docs/KERNELS.md constraint 7): raise nfft")
+    # Mosaic lowering crash class (docs/KERNELS.md constraint 7): a
+    # sublane slice of an in-kernel value at an 8-unaligned row offset
+    # with < 3 rows SIGABRTs in lower-to-LLO.  Repair instead of reject:
+    # emit from the aligned-down offset with padr extra discard rows
+    # (the carry_tail_rows zero-pad trick), dropped in XLA below.
+    padr = e0r % 8 if br < 3 else 0
     batch = x.shape[:-1]
     n = x.shape[-1]
     xf = x.reshape((-1, n))
@@ -162,14 +167,15 @@ def overlap_save_fused(
         shape, (lambda i, j: (0,) * len(shape)), memory_space=pltpu.VMEM)
     # 4D output (batch, block, row, n2): last two dims equal the array's,
     # so Mosaic's (8, 128) divisibility rule is satisfied for any shape.
+    orow = br + padr
     y = pl.pallas_call(
-        functools.partial(_os_kernel, br, e0r, nb, nt, n1, n2),
+        functools.partial(_os_kernel, br, e0r, padr, nb, nt, n1, n2),
         grid=(bp // tb, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
         + [bs_c(c.shape) for c in consts],
-        out_specs=pl.BlockSpec((tb, nb, br, n2), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((tb, nb, orow, n2), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, nt * nb, br, n2), dt),
+        out_shape=jax.ShapeDtypeStruct((bp, nt * nb, orow, n2), dt),
         scratch_shapes=[
             pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.SemaphoreType.DMA((2,)),
@@ -178,4 +184,6 @@ def overlap_save_fused(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(xp3, *consts)
+    if padr:
+        y = y[:, :, padr:, :]
     return y.reshape(bp, total)[:bsz, :n].reshape(batch + (n,))
