@@ -152,10 +152,15 @@ def chain_file(path_in: str, path_out: str, rate_out: int = 48000,
         nfft=nfft, hop=hop, threshold_db=threshold_db,
         reduction_db=reduction_db, noise_frames=noise_frames, env_h=env_h)])
     chain.build()
+    # Both modes process the ENTIRE file (end-of-file flush) and emit
+    # exactly chain.out_len(n) samples: streaming pads to whole blocks
+    # internally and drains the carried latency, so block= changes the
+    # execution schedule, never the output length or (beyond streaming
+    # reassociation) the samples.
     if block is not None:
-        n = (x.shape[-1] // block) * block
-        y = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x[:, :n]))
+        y = np.asarray(
+            jax.jit(lambda v: chain.stream(v, block, drain=True))(x))
     else:
-        y = np.asarray(jax.jit(chain.full)(x))
+        y = np.asarray(jax.jit(chain.full_flush)(x))
     write_wav(path_out, y, rate_out, **wav_kw)
     return y.shape

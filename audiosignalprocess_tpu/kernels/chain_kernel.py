@@ -481,6 +481,8 @@ def fir_gate_step_fused(
     batch_tile: int = 8,
     env_h=None,
     env_scale: float = 1.0,
+    eof_in: int | None = None,
+    tail_norm: np.ndarray | None = None,
 ):
     """Fused Pallas streaming FIR+gate step: (state, x) -> (new_state, y).
 
@@ -538,7 +540,8 @@ def fir_gate_step_fused(
     # position logic (XLA) — identical to gate_step_fused
     valid2, take2, take_f, inorm = gate_step_masks(
         state, m, b, d, hop, noise_frames, input_latency, latency,
-        head_norm, const_norm, span_r, n2, dt)
+        head_norm, const_norm, span_r, n2, dt, eof_in=eof_in,
+        tail_norm=tail_norm)
 
     wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))

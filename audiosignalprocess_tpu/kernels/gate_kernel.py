@@ -305,26 +305,49 @@ def noise_gate_fused(
 # match pipeline.GateStage.step / effects.noise_gate (oracle-pinned).
 
 
-def wola_inorm_rows(pvec, head_norm, const_norm, d, rows, n2, dt):
+def wola_inorm_rows(pvec, head_norm, const_norm, d, rows, n2, dt,
+                    eof_out=None, tail_norm=None):
     """Streaming WOLA 1/norm rows at output positions ``pvec``: 1.0 in
-    the pre-signal region, the head ramp over [0, d), constant after
-    (the stream never emits the finite-file tail ramp).  Shared by the
+    the pre-signal region, the head ramp over [0, d), constant after.
+    With ``eof_out``/``tail_norm`` set (a drained stream,
+    pipeline.Chain.stream(drain=True)): the finite-file ramp-out over
+    [eof_out - d, eof_out) and 1.0 past ``eof_out`` (only zeros are
+    emitted there), so the drained emission reproduces the whole-file
+    istft's position-wise edge normalization exactly.  Shared by the
     gate/chain and stretch step wrappers."""
     head = jnp.asarray(head_norm, dt)
     const = jnp.asarray(const_norm, dt)
     idx = jnp.clip(pvec, 0, d - 1)
     norm = jnp.where(pvec < 0, 1.0, jnp.where(pvec < d, head[idx], const))
+    if eof_out is not None:
+        tail = jnp.asarray(tail_norm, dt)
+        ti = jnp.clip(pvec - (eof_out - d), 0, d - 1)
+        norm = jnp.where(pvec >= eof_out, 1.0,
+                         jnp.where(pvec >= eof_out - d, tail[ti], norm))
     return (1.0 / norm).reshape(rows, n2)
 
 
 def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
-                    latency, head_norm, const_norm, span_r, n2, dt):
+                    latency, head_norm, const_norm, span_r, n2, dt,
+                    eof_in=None, tail_norm=None):
     """Position-dependent per-block gate-step inputs, shared by the gate,
     FIR+gate and resample+FIR+gate step wrappers: frame validity /
     noise-floor-take masks and the WOLA 1/norm rows (head ramp while the
-    block overlaps the whole-file ramp-in region, constant after)."""
+    block overlaps the whole-file ramp-in region, constant after).
+    ``eof_in`` (drained stream): stream position one past the last real
+    input sample — frames straddling end-of-file are invalidated (the
+    whole-file gate only analyzes complete frames) and the emission norm
+    switches to the finite-file ramp-out (see wola_inorm_rows)."""
+    nfft = d + hop
     starts = state["pos"] - d + hop * jnp.arange(m, dtype=jnp.int32)
     valid_f = (starts >= input_latency)
+    eof_out = None
+    if eof_in is not None:
+        valid_f = jnp.logical_and(valid_f, starts + nfft <= eof_in)
+        # whole-file synthesis length: nfft + K*hop for complete frames
+        # 0..K (positions past it emit zeros, matching full()'s pad-back)
+        n_real = eof_in - input_latency
+        eof_out = nfft + ((n_real - nfft) // hop) * hop if n_real >= nfft else 0
     take_f = jnp.logical_and(
         valid_f,
         state["floor_n"] + jnp.cumsum(valid_f.astype(jnp.int32))
@@ -335,7 +358,8 @@ def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
     take2 = take_f.astype(dt)[:, None] * ones_row
     p0 = state["pos"] - latency - input_latency
     pvec = p0 + jnp.arange(b_out, dtype=jnp.int32)
-    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, span_r, n2, dt)
+    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, span_r, n2, dt,
+                            eof_out=eof_out, tail_norm=tail_norm)
     return valid2, take2, take_f, inorm
 
 
@@ -401,6 +425,8 @@ def gate_step_fused(
     head_norm: np.ndarray,
     const_norm: float,
     batch_tile: int = 8,
+    eof_in: int | None = None,
+    tail_norm: np.ndarray | None = None,
 ):
     """Fused Pallas streaming gate step: (state, x) -> (new_state, y).
 
@@ -437,7 +463,8 @@ def gate_step_fused(
     # position logic (XLA): frame validity, floor-take counting, WOLA norm
     valid2, take2, take_f, inorm = gate_step_masks(
         state, m, b, d, hop, noise_frames, input_latency, latency,
-        head_norm, const_norm, br, n2, dt)
+        head_norm, const_norm, br, n2, dt, eof_in=eof_in,
+        tail_norm=tail_norm)
 
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)

@@ -487,6 +487,8 @@ def res_fir_gate_step_fused(
     batch_tile: int = 8,
     env_h=None,
     env_scale: float = 1.0,
+    eof_in: int | None = None,
+    tail_norm: np.ndarray | None = None,
 ):
     """Fused streaming step: raw block -> resample(up/down) -> overlap-
     save FIR -> spectral gate, ONE Pallas kernel per block.
@@ -579,7 +581,8 @@ def res_fir_gate_step_fused(
 
     valid2, take2, take_f, inorm = gate_step_masks(
         state, m, b_out, d, hop, noise_frames, input_latency, latency,
-        head_norm, const_norm, span_r, n2, dt)
+        head_norm, const_norm, span_r, n2, dt, eof_in=eof_in,
+        tail_norm=tail_norm)
     wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
     env = env_h is not None
     if env:

@@ -132,6 +132,8 @@ def stretch_step_fused(
     head_norm: np.ndarray,
     const_norm: float,
     batch_tile: int = 8,
+    eof_frames_out: int | None = None,
+    tail_norm: np.ndarray | None = None,
 ):
     """Fused Pallas streaming stretch step: (state, x) -> (new_state, y).
 
@@ -167,9 +169,19 @@ def stretch_step_fused(
     ones_row = jnp.ones((1, n2), dt)
     hit2 = (phys == n_skip).astype(dt)[:, None] * ones_row      # (m, n2)
     i_glob = blk * mo + jnp.arange(mo, dtype=jnp.int32) - off
-    emit2 = (i_glob >= 0).astype(dt)[:, None] * ones_row        # (mo, n2)
+    emit_f = i_glob >= 0
+    eof_out = None
+    if eof_frames_out is not None:
+        # drained stream (pipeline.Chain.stream(drain=True)): output
+        # frames past the oracle's count reference straddling analysis
+        # frames full() never synthesizes — mask them, and switch the
+        # emission norm to the finite-file ramp-out past eof_out
+        emit_f = jnp.logical_and(emit_f, i_glob < eof_frames_out)
+        eof_out = nfft + (eof_frames_out - 1) * hop if eof_frames_out else 0
+    emit2 = emit_f.astype(dt)[:, None] * ones_row               # (mo, n2)
     pvec = (blk * mo - off) * hop + jnp.arange(mo * hop, dtype=jnp.int32)
-    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, mo * hr, n2, dt)
+    inorm = wola_inorm_rows(pvec, head_norm, const_norm, d, mo * hr, n2, dt,
+                            eof_out=eof_out, tail_norm=tail_norm)
 
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)

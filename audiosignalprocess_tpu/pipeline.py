@@ -74,12 +74,30 @@ def _wola_head_norm(nfft: int, hop: int, window_kind: str) -> np.ndarray:
     return np.maximum(norm, max(oracle.WOLA_EDGE_REL * const, 1e-12))
 
 
+def _wola_tail_norm(nfft: int, hop: int, window_kind: str) -> np.ndarray:
+    """Per-sample WOLA norm over the LAST nfft-hop output samples of a
+    whole-file istft (the ramp-out region): position nout-d+i is covered
+    by the final frames at window offsets hop+i, 2*hop+i, ... — the later
+    frames that would complete the interior stack do not exist past
+    end-of-file.  Used by drained streams (Chain.stream(drain=True)) to
+    reproduce the oracle istft's finite-file edge normalization."""
+    w2 = window_np(window_kind, nfft) ** 2
+    d = nfft - hop
+    norm = np.zeros(d)
+    for i in range(d):
+        norm[i] = w2[hop + i :: hop].sum()
+    const = _wola_const_norm(nfft, hop, window_kind)
+    return np.maximum(norm, max(oracle.WOLA_EDGE_REL * const, 1e-12))
+
+
 def _wola_ola_emit(out_frames, ola_tail, hop, nfft, pvec, head_np, const,
-                   dtype):
+                   dtype, eof_out=None, tail_np=None):
     """Blockwise WOLA synthesis shared by the gate and stretch jnp steps:
     overlap-add the synthesized frames with the d-sample tail carry, then
     normalize at output positions ``pvec`` (1.0 pre-signal, head ramp
-    over [0, d), constant after).  Returns (y, new_tail)."""
+    over [0, d), constant after; with ``eof_out`` set — a drained stream —
+    the finite-file ramp-out over [eof_out-d, eof_out) and 1.0 past it).
+    Returns (y, new_tail)."""
     d = nfft - hop
     r = nfft // hop
     m = out_frames.shape[-2]
@@ -96,6 +114,11 @@ def _wola_ola_emit(out_frames, ola_tail, hop, nfft, pvec, head_np, const,
     norm = jnp.where(pvec < 0, 1.0,
                      jnp.where(pvec < d, head[idx],
                                jnp.asarray(const, dtype)))
+    if eof_out is not None:
+        tail = jnp.asarray(tail_np, dtype)
+        ti = jnp.clip(pvec - (eof_out - d), 0, d - 1)
+        norm = jnp.where(pvec >= eof_out, 1.0,
+                         jnp.where(pvec >= eof_out - d, tail[ti], norm))
     return acc[..., :b_out] / norm, acc[..., b_out:]
 
 
@@ -112,6 +135,38 @@ class Stage:
 
     def out_block(self, b: int) -> int:
         return b
+
+    def out_len(self, n: int) -> int:
+        """Whole-file output length for input length ``n`` (the stage's
+        rate map: ``len(full(x)) == out_len(len(x))`` for any x)."""
+        return n
+
+    def tail_width(self, t: int) -> int:
+        """Tail span map for end-of-file draining: if the stage's input
+        stream changes over its last ``t`` samples, at most the last
+        ``tail_width(t)`` OUTPUT samples differ.  Causal sample-map
+        stages: t.  Frame-based stages add their frame overlap.  Used to
+        over-provision the drained stream's flush blocks."""
+        return t
+
+    # -- end-of-file semantics (drained streams) ---------------------------
+    # Chain.stream(drain=True) arms each stage with the static length of
+    # its REAL input before tracing the scan; frame-based stages then
+    # invalidate frames straddling end-of-file and switch their emission
+    # normalization to the finite-file ramp-out, so the drained stream
+    # reproduces full()/the oracle exactly (not the zero-extended-input
+    # semantics plain zero padding would give).  Causal sample-map stages
+    # need nothing: zero padding past EOF is exact for them.
+
+    _eof_n: int | None = None
+
+    def set_eof(self, n_in: int) -> None:
+        """Arm end-of-file handling: the real input occupies stream
+        positions [input_latency, input_latency + n_in)."""
+        self._eof_n = n_in
+
+    def clear_eof(self) -> None:
+        self._eof_n = None
 
     def full(self, x: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
@@ -203,6 +258,12 @@ class ResampleStage(Stage):
         check(b % self.down == 0, f"block {b} not a multiple of down={self.down}")
         return b * self.up // self.down
 
+    def out_len(self, n):
+        return -(-n * self.up // self.down)
+
+    def tail_width(self, t):
+        return -(-t * self.up // self.down) + 1
+
     def full(self, x):
         return resample_poly(x, self.up, self.down, h=self.h,
                              zero_phase=False, fused=self.fused)
@@ -249,6 +310,12 @@ class GateStage(Stage):
         self.input_latency = input_latency
         return input_latency + self.latency
 
+    def tail_width(self, t):
+        # the zero-pad tail of full() becomes true WOLA synthesis once
+        # later frames exist: nfft-hop of overlap plus up to hop-1 of
+        # frame truncation (inputs that fill no complete frame)
+        return t + self.nfft - 1
+
     def full(self, x):
         """Whole-signal gate; output zero-padded back to input length so
         streaming and full shapes agree (gate output is nfft-hop shorter)."""
@@ -267,6 +334,24 @@ class GateStage(Stage):
 
     def _head_norm(self) -> np.ndarray:
         return _wola_head_norm(self.nfft, self.hop, self.window_kind)
+
+    def _tail_norm(self) -> np.ndarray:
+        return _wola_tail_norm(self.nfft, self.hop, self.window_kind)
+
+    def set_eof(self, n_in: int) -> None:
+        d = self.nfft - self.hop
+        check(n_in >= self.nfft, f"drain needs >= one complete frame "
+              f"(nfft={self.nfft}), got {n_in} input samples — use full()")
+        nout = self.nfft + ((n_in - self.nfft) // self.hop) * self.hop
+        check(nout >= 2 * d, f"drain needs disjoint WOLA edge ramps "
+              f"(synthesis length {nout} < {2 * d}) — use full()")
+        self._eof_n = n_in
+
+    def _eof_nout(self) -> int | None:
+        """Whole-file synthesis length (positions past it emit zeros)."""
+        if self._eof_n is None:
+            return None
+        return self.nfft + ((self._eof_n - self.nfft) // self.hop) * self.hop
 
     def init_state(self, batch, block, dtype):
         check(block % self.hop == 0 and block >= self.hop, 'guard failed: block % self.hop == 0 and block >= self.hop')
@@ -321,6 +406,10 @@ class GateStage(Stage):
                 window_kind=self.window_kind,
                 input_latency=self.input_latency, latency=self.latency,
                 head_norm=self._head_norm(), const_norm=self._norm_const(),
+                eof_in=(None if self._eof_n is None
+                        else self.input_latency + self._eof_n),
+                tail_norm=(None if self._eof_n is None
+                           else self._tail_norm()),
             )
         b = x.shape[-1]
         m = b // self.hop
@@ -334,6 +423,12 @@ class GateStage(Stage):
         starts = state["pos"] - d + self.hop * jnp.arange(m, dtype=jnp.int32)
         # frames overlapping the latency padding carry no signal -> zero them
         valid_f = starts >= self.input_latency  # (m,)
+        if self._eof_n is not None:
+            # drained stream: frames straddling end-of-file are never
+            # analyzed by the whole-file gate — invalidate them
+            valid_f = jnp.logical_and(
+                valid_f,
+                starts + self.nfft <= self.input_latency + self._eof_n)
         spec = fft_ops.rfft(frames * w, impl=self.impl) * valid_f[:, None].astype(dtype)
         # noise floor: accumulate the first noise_frames valid frames
         mag = jnp.abs(spec).astype(dtype)
@@ -379,7 +474,9 @@ class GateStage(Stage):
         y, ola_tail = _wola_ola_emit(out_frames, state["ola_tail"],
                                      self.hop, self.nfft, pvec,
                                      self._head_norm(), self._norm_const(),
-                                     dtype)
+                                     dtype, eof_out=self._eof_nout(),
+                                     tail_np=(None if self._eof_n is None
+                                              else self._tail_norm()))
         new_state = dict(
             in_tail=ext[..., -d:],
             fifo_r=fifo_r,
@@ -479,6 +576,18 @@ class FIRGateStage(Stage):
                 and self._os_rows_ok(len(self.h))
                 and self._env_fits())
 
+    def tail_width(self, t):
+        return t + self.nfft - 1  # see GateStage.tail_width
+
+    def set_eof(self, n_in):
+        # the FIR front is a 1:1 causal map — the gate sees the same EOF
+        self._gate.set_eof(n_in)
+        self._eof_n = n_in
+
+    def clear_eof(self):
+        self._gate.clear_eof()
+        self._eof_n = None
+
     def full(self, x):
         if self._fused_ok(x.dtype):
             from audiosignalprocess_tpu.kernels.chain_kernel import (
@@ -531,7 +640,11 @@ class FIRGateStage(Stage):
                 const_norm=_wola_const_norm(self.nfft, self.hop,
                                             self.window_kind),
                 env_h=self.env_h if self._env is not None else None,
-                env_scale=self.env_scale)
+                env_scale=self.env_scale,
+                eof_in=(None if self._eof_n is None
+                        else self.input_latency + self._eof_n),
+                tail_norm=(None if self._eof_n is None else _wola_tail_norm(
+                    self.nfft, self.hop, self.window_kind)))
         sf, sg = state[0], state[1]
         sf, y = self._fir.step(sf, x)
         sg, y = self._gate.step(sg, y)
@@ -606,6 +719,23 @@ class ResFIRGateStage(Stage):
     def out_block(self, b: int) -> int:
         return self._fg.out_block(self._res.out_block(b))
 
+    def out_len(self, n: int) -> int:
+        return self._fg.out_len(self._res.out_len(n))
+
+    def tail_width(self, t: int) -> int:
+        return self._fg.tail_width(self._res.tail_width(t))
+
+    def set_eof(self, n_in):
+        # the gate frames the RESAMPLED stream; positions past the
+        # resampler's rate-mapped EOF are phantom continuations of the
+        # polyphase history and are never analyzed by full()
+        self._fg.set_eof(self._res.out_len(n_in))
+        self._eof_n = n_in
+
+    def clear_eof(self):
+        self._fg.clear_eof()
+        self._eof_n = None
+
     def _fused_ok(self, dtype, block: int | None = None) -> bool:
         from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
         from audiosignalprocess_tpu.kernels.res_chain_kernel import (
@@ -674,7 +804,12 @@ class ResFIRGateStage(Stage):
                                           self.window_kind),
                 const_norm=_wola_const_norm(self.nfft, self.hop,
                                             self.window_kind),
-                env_h=self.env_h, env_scale=self.env_scale)
+                env_h=self.env_h, env_scale=self.env_scale,
+                eof_in=(None if self._eof_n is None
+                        else self.input_latency
+                        + self._res.out_len(self._eof_n)),
+                tail_norm=(None if self._eof_n is None else _wola_tail_norm(
+                    self.nfft, self.hop, self.window_kind)))
         sr_, sf_ = state
         sr_, y = self._res.step(sr_, x)
         sf_, y = self._fg.step(sf_, y)
@@ -759,6 +894,33 @@ class StretchStage(Stage):
         m = b // self.hop
         check((m * self.q) % self.p == 0, f"block frames {m} * q must be a multiple of p={self.p}")
         return (m * self.q // self.p) * self.hop
+
+    def out_len(self, n: int) -> int:
+        return n * self.q // self.p
+
+    def tail_width(self, t: int) -> int:
+        # frame overlap + analysis-slot lookahead + frame truncation
+        return -(-t * self.q // self.p) + self.nfft + self.hop
+
+    def set_eof(self, n_in: int) -> None:
+        d = self.nfft - self.hop
+        check(n_in >= self.nfft + self.hop,
+              f"drain needs >= two complete analysis frames "
+              f"(nfft+hop={self.nfft + self.hop}), got {n_in} — use full()")
+        nof = self._nof(n_in)
+        check(self.nfft + (nof - 1) * self.hop >= 2 * d,
+              "drain needs disjoint WOLA edge ramps — use full()")
+        self._eof_n = n_in
+
+    def _nof(self, n_in: int) -> int:
+        """Oracle output frame count (phase_vocoder.stretch_steps_rational:
+        output frame u interpolates analysis slots (k, k+1), so only
+        nf-1 slot pairs exist for nf complete analysis frames)."""
+        nf = (n_in - self.nfft) // self.hop + 1
+        return 0 if nf < 2 else ((nf - 1) * self.q - 1) // self.p + 1
+
+    def _eof_frames_out(self) -> int | None:
+        return None if self._eof_n is None else self._nof(self._eof_n)
 
     def full(self, x):
         from audiosignalprocess_tpu.effects.phase_vocoder import (
@@ -846,6 +1008,9 @@ class StretchStage(Stage):
                                           self.window_kind),
                 const_norm=_wola_const_norm(self.nfft, self.hop,
                                             self.window_kind),
+                eof_frames_out=self._eof_frames_out(),
+                tail_norm=(None if self._eof_n is None else _wola_tail_norm(
+                    self.nfft, self.hop, self.window_kind)),
             )
         w = jnp.asarray(window_np(self.window_kind, self.nfft), dtype)
         ext = jnp.concatenate([state["in_tail"], x], axis=-1)
@@ -872,7 +1037,14 @@ class StretchStage(Stage):
         s1r = fifo_r[..., jnp.asarray(slots + 1), :]
         s1i = fifo_i[..., jnp.asarray(slots + 1), :]
         i_glob = state["blk"] * mo + jnp.arange(mo, dtype=jnp.int32) - self.off
-        emit = (i_glob >= 0).astype(dtype)[:, None]
+        emit_f = i_glob >= 0
+        nof = self._eof_frames_out()
+        if nof is not None:
+            # drained stream: output frames past the oracle's count
+            # reference straddling analysis frames full() never
+            # synthesizes — mask them (rotors stay neutral below)
+            emit_f = jnp.logical_and(emit_f, i_glob < nof)
+        emit = emit_f.astype(dtype)[:, None]
         # advance rotors u = unit(s1 conj s0); masked slots are neutral
         ur, ui = unit_rotor(s1r * s0r + s1i * s0i, s1i * s0r - s1r * s0i)
         ur = jnp.where(emit > 0, ur, 1.0)
@@ -906,7 +1078,11 @@ class StretchStage(Stage):
         y, ola_tail = _wola_ola_emit(
             out_frames, state["ola_tail"], self.hop, self.nfft, pvec,
             _wola_head_norm(self.nfft, self.hop, self.window_kind),
-            _wola_const_norm(self.nfft, self.hop, self.window_kind), dtype)
+            _wola_const_norm(self.nfft, self.hop, self.window_kind), dtype,
+            eof_out=(None if nof is None
+                     else self.nfft + (nof - 1) * self.hop),
+            tail_np=(None if nof is None else _wola_tail_norm(
+                self.nfft, self.hop, self.window_kind)))
         new_state = dict(
             in_tail=ext[..., -d:],
             fifo_r=fifo_r,
@@ -940,10 +1116,47 @@ class Chain:
             b = s.out_block(b)
         return b
 
+    def out_len(self, n: int) -> int:
+        """Rate-mapped whole-file output length: len(full(x)) for any x."""
+        for s in self.stages:
+            n = s.out_len(n)
+        return n
+
+    def tail_width(self) -> int:
+        """Output samples at the end of ``full(x)`` that change once the
+        input is extended past end-of-file (frame-based stages' zero-pad
+        tails become true WOLA synthesis; see Stage.tail_width)."""
+        t = 0
+        for s in self.stages:
+            t = s.tail_width(t)
+        return t
+
     def full(self, x: jnp.ndarray) -> jnp.ndarray:
         for s in self.stages:
             x = s.full(x)
         return x
+
+    def full_flush(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``full`` with the output length pinned to ``out_len(n)``.
+
+        ``full`` already carries the complete finite-file answer — every
+        stage's whole-file path analyzes exactly the complete frames of
+        its input and edge-renormalizes the WOLA tail (the oracle istft
+        semantics) — so no zero-extension is needed or wanted (extending
+        the input would CHANGE the tail: straddling frames would be
+        gated/stretched as real data).  This only pins the rate-mapped
+        length for stages whose full() truncates or pads (e.g. the
+        vocoder's frame-quantized istft length vs the n*q/p rate map).
+        ``stream(x, block, drain=True)`` equals this to streaming
+        reassociation for ANY input length and block size."""
+        n = x.shape[-1]
+        n_out = self.out_len(n)
+        y = self.full(x)
+        pad = n_out - y.shape[-1]
+        if pad > 0:
+            y = jnp.concatenate(
+                [y, jnp.zeros(y.shape[:-1] + (pad,), y.dtype)], axis=-1)
+        return y[..., :n_out]
 
     def init_state(self, batch: tuple, block: int, dtype=jnp.float32):
         self.build()
@@ -961,13 +1174,63 @@ class Chain:
             new_states.append(st)
         return new_states, x
 
-    def stream(self, x: jnp.ndarray, block: int):
+    def arm_eof(self, n: int) -> None:
+        """Arm every stage's end-of-file semantics for a drained stream
+        of ``n`` real input samples (see Stage.set_eof).  Callers running
+        their own block loop over ``step`` (e.g. the config-5 ring
+        driver) must arm BEFORE tracing the step and ``disarm_eof``
+        after; ``stream(drain=True)`` does both internally."""
+        m = n
+        for s in self.stages:
+            s.set_eof(m)
+            m = s.out_len(m)
+
+    def disarm_eof(self) -> None:
+        for s in self.stages:
+            s.clear_eof()
+
+    def drain_blocks(self, n: int, block: int) -> int:
+        """Total input blocks (>= ceil(n/block)) a drained stream must
+        step so the emission covers positions [0, out_len(n)) past the
+        chain latency AND every emitted position has converged (complete
+        frame coverage).  Requires ``build()``."""
+        n_out = self.out_len(n)
+        ob = self.out_block(block)
+        need = n_out + max(self.latency, self.tail_width())
+        return max(-(-n // block), -(-need // ob))
+
+    def stream(self, x: jnp.ndarray, block: int, drain: bool = False):
         """Run the whole signal through the block streamer with lax.scan.
 
-        Returns the concatenated emitted stream (len(x) mapped through rate
-        changes).  Identity: emitted[L:] == full(x)[:emitted_len - L].
+        ``drain=False`` (the raw block loop): len(x) must be a multiple of
+        ``block``; returns the emitted stream (len(x) mapped through rate
+        changes).  Identity: emitted[L:] == full(x)[:emitted_len - L] —
+        the final L samples of full(x) stay un-flushed in the carry.
+
+        ``drain=True`` (end-of-file flush): ANY input length.  Internally
+        zero-pads to ``drain_blocks`` whole blocks, arms every stage's
+        end-of-file semantics (frames straddling EOF are invalidated and
+        the WOLA emission switches to the finite-file ramp-out — see
+        Stage.set_eof), streams, and returns exactly ``out_len(len(x))``
+        samples aligned to position 0 (the latency prefix is stripped).
+        Equals ``full_flush(x)`` / ``full(x)`` — the oracle's whole-file
+        semantics including the synthesis tail — to streaming
+        reassociation (~120 dB f32, ~1e-12 f64).
         """
         n = x.shape[-1]
+        if drain:
+            self.build()
+            nblocks = self.drain_blocks(n, block)
+            pad = nblocks * block - n
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+            try:
+                self.arm_eof(n)
+                y = self.stream(x, block)
+            finally:
+                self.disarm_eof()
+            return y[..., self.latency : self.latency + self.out_len(n)]
         check(n % block == 0, "stream length must be a multiple of the block")
         nblocks = n // block
         states = self.init_state(x.shape[:-1], block, x.dtype)

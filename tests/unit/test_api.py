@@ -122,10 +122,12 @@ def test_chain_file(tmp_path):
     y2, _ = read_wav(out2, dtype=np.float64)
     ref2 = oracle.fir_direct(np.abs(ref), oracle.design_fir(
         129, 2.0 * 50.0 / 48000)) * (np.pi / 2.0)
-    # streaming contract: emitted[latency + i] == full[i]
-    lat = (1024 - 256) + 4 * 256
-    m2 = min(y2.shape[-1] - lat, ref2.shape[-1]) - 1024
-    assert oracle.snr_db(ref2[:m2], y2[0, lat:lat + m2]) >= 60.0
+    # drained streaming contract: output is latency-stripped and aligned
+    # to position 0 (api.chain_file block= streams with drain=True), so
+    # emitted[i] == full[i] directly and the lengths match the rate map
+    assert y2.shape[-1] == y.shape[-1]
+    m2 = min(y2.shape[-1], ref2.shape[-1]) - 1024
+    assert oracle.snr_db(ref2[:m2], y2[0, :m2]) >= 60.0
 
 
 def test_envelope_file(tmp_path):

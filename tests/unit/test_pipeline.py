@@ -391,3 +391,126 @@ class TestStretchStage:
         ref = np.asarray(time_stretch(x, 0.75))
         n = min(y.shape[-1], ref.shape[-1])
         np.testing.assert_allclose(y[..., :n], ref[..., :n], rtol=1e-7, atol=1e-8)
+
+
+class TestDrain:
+    """End-of-file flush (VERDICT r2 item 3, BASELINE.json:5 "bit-for-bit
+    in structure" includes the file tail): ``stream(x, block, drain=True)``
+    and ``full_flush(x)`` emit EXACTLY ``out_len(len(x))`` samples aligned
+    to position 0 for ARBITRARY (non-block-multiple) input lengths, and
+    agree to streaming reassociation."""
+
+    @staticmethod
+    def _drain_equals_flush(chain, x, block, min_snr=100.0):
+        import jax
+
+        chain.build()
+        n = x.shape[-1]
+        want = chain.out_len(n)
+        ff = np.asarray(jax.jit(chain.full_flush)(x))
+        st = np.asarray(jax.jit(lambda v: chain.stream(v, block, drain=True))(x))
+        assert ff.shape[-1] == want and st.shape == ff.shape
+        assert oracle.snr_db(ff.astype(np.float64) + 1e-30,
+                             st.astype(np.float64) + 1e-30) >= min_snr
+
+    def test_fir_non_multiple_length(self, rng):
+        h = oracle.design_fir(64, 0.25)
+        x = rng.standard_normal((2, 4097))
+        self._drain_equals_flush(Chain([FIRStage(h=h, nfft=1024)]), x, 512)
+
+    def test_fir_causal_flush_is_exact_full(self, rng):
+        """For a pure causal sample-map chain, full_flush == full exactly
+        (zero tail_width contribution beyond the FIR history)."""
+        h = oracle.design_fir(64, 0.25)
+        c = Chain([FIRStage(h=h)])
+        c.build()
+        x = rng.standard_normal(4097)
+        np.testing.assert_allclose(
+            np.asarray(c.full_flush(x)), np.asarray(c.full(x)),
+            rtol=1e-12, atol=1e-12)
+
+    def test_gate_drain(self, rng):
+        n = 8192 + 100
+        x = 0.01 * rng.standard_normal((1, n))
+        x[:, 3000:6000] += np.sin(2 * np.pi * 440.0 * np.arange(3000) / 48000.0)
+        self._drain_equals_flush(Chain([GateStage(nfft=1024, hop=256)]), x, 2048)
+
+    def test_resample_drain_length_is_rate_map(self, rng):
+        """out_len is the ceil rate map: 147 in -> 160 out at 160/147."""
+        c = Chain([ResampleStage(up=160, down=147)])
+        c.build()
+        assert c.out_len(147) == 160 and c.out_len(148) == 162  # ceil(148*160/147)
+        x = rng.standard_normal((2, 14700 + 123))
+        self._drain_equals_flush(c, x, 1470)
+
+    def test_config5_chain_drain(self, rng):
+        h = oracle.design_fir(64, 0.3)
+        c = Chain([
+            ResampleStage(up=160, down=147),
+            FIRStage(h=h, nfft=1024),
+            GateStage(nfft=1024, hop=256, noise_frames=4),
+        ])
+        x = rng.standard_normal((2, 14700 * 2 + 777)).astype(np.float32)
+        self._drain_equals_flush(c, x, 2352, min_snr=90.0)
+
+    @pytest.mark.parametrize("p,q", ((4, 3), (3, 4)))
+    def test_stretch_drain(self, rng, p, q):
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        c = Chain([StretchStage(p=p, q=q, nfft=1024, hop=256)])
+        x = rng.standard_normal((1, 12288 + 321)).astype(np.float32)
+        self._drain_equals_flush(c, x, 256 * p, min_snr=90.0)
+
+    def test_drain_block_multiple_matches_plain_stream(self, rng):
+        """When n IS a block multiple, drain's emission prefix equals the
+        plain stream's latency-stripped emission on the same input."""
+        h = oracle.design_fir(64, 0.25)
+        c = Chain([FIRStage(h=h)])
+        lat = c.build()
+        x = rng.standard_normal(4096)
+        plain = np.asarray(c.stream(x, 512))[..., lat:]
+        drained = np.asarray(c.stream(x, 512, drain=True))
+        np.testing.assert_allclose(
+            drained[..., : plain.shape[-1]], plain, rtol=1e-12, atol=1e-12)
+
+    # -- fused Pallas step kernels (interpret mode on CPU) ------------------
+    # the EOF machinery enters the kernels as mask/inorm INPUTS
+    # (gate_step_masks / wola_inorm_rows), so interpret-mode parity here
+    # pins the same code path hardware runs
+
+    def test_gate_drain_fused(self, rng):
+        n = 8192 + 100
+        x = 0.01 * rng.standard_normal((1, n)).astype(np.float32)
+        x[:, 3000:6000] += np.sin(
+            2 * np.pi * 440.0 * np.arange(3000) / 48000.0).astype(np.float32)
+        self._drain_equals_flush(
+            Chain([GateStage(nfft=1024, hop=256, fused=True)]), x, 2048,
+            min_snr=90.0)
+
+    def test_stretch_drain_fused(self, rng):
+        from audiosignalprocess_tpu.pipeline import StretchStage
+
+        c = Chain([StretchStage(p=4, q=3, nfft=1024, hop=256, fused=True)])
+        x = rng.standard_normal((1, 12288 + 321)).astype(np.float32)
+        self._drain_equals_flush(c, x, 256 * 4, min_snr=90.0)
+
+    @pytest.mark.parametrize("env", (False, True))
+    def test_res_fir_gate_drain_fused(self, rng, env):
+        """The flagship composite (config 5, one Pallas kernel per block,
+        envelope folded in when env=True) drains to full() parity — the
+        tail renormalization rides the kernel's inorm input, so the
+        env-folded path consumes correctly normalized gate samples."""
+        from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+        h = oracle.design_fir(64, 0.3)
+        env_h = oracle.design_fir(129, 2.0 * 50.0 / 48000) if env else None
+        c = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
+                                   hop=256, noise_frames=4, env_h=env_h)])
+        c.build()
+        st = c.init_state((1,), 2 * 1176, np.float32)
+        assert isinstance(st[0], dict) and "res_hist" in st[0], \
+            "expected the fused one-kernel-per-block path"
+        x = 0.01 * rng.standard_normal((1, 14700 * 2 + 777)).astype(np.float32)
+        x[:, 8000:20000] += np.sin(
+            2 * np.pi * 440.0 * np.arange(12000) / 44100.0).astype(np.float32)
+        self._drain_equals_flush(c, x, 2 * 1176, min_snr=80.0)

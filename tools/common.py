@@ -12,6 +12,7 @@ import time
 import numpy as np
 
 from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.utils.validate import check
 from audiosignalprocess_tpu.io.wav import read_wav, write_wav
 
 # Honor ASP_FORCE_PLATFORM in every driver (the TPU plugin force-registers
@@ -62,7 +63,7 @@ def std_parser(desc: str) -> argparse.ArgumentParser:
 def load_or_make(args, channels: int, rate: int, kind: str = "tone+noise"):
     if args.input:
         x, r = read_wav(args.input, dtype=np.float32)
-        assert r == rate, f"expected {rate} Hz input, got {r}"
+        check(r == rate, f"expected {rate} Hz input, got {r}")
         return x
     import tempfile, os
 

@@ -19,6 +19,9 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from audiosignalprocess_tpu.utils.validate import check
+
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
@@ -30,7 +33,7 @@ def main():
                    help="-- script.py [args...]")
     args = p.parse_args()
     cmd = [c for c in args.cmd if c != "--"]
-    assert cmd, "pass the driver script after --"
+    check(cmd, "pass the driver script after --")
 
     procs = []
     for pid in range(args.simulate):

@@ -12,6 +12,7 @@ import numpy as np
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.ops.fir import design_fir
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
+from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed
 
 RATE = 16000
@@ -30,9 +31,9 @@ def main():
     snr = None
     if args.check or True:  # config 1 is the parity config: always check
         ref = oracle.overlap_save(x[0].astype(np.float64), h, 1024)
-        assert out.shape == (1, ref.shape[0]), "structural mismatch"
+        check(out.shape == (1, ref.shape[0]), "structural mismatch")
         snr = snr_db(ref, out[0])
-        assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
+        check(snr >= 60.0, f"parity FAILED: {snr:.1f} dB")
 
     maybe_write(args, out, RATE)
     report("config1_mono_fir_overlap_save", x, out, dt, snr, args)

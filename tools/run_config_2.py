@@ -12,6 +12,7 @@ import numpy as np
 from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.ops.fir import design_fir, fir_direct
 from audiosignalprocess_tpu.ops.resample import resample_poly
+from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed
 
 RATE_IN, RATE_OUT = 44100, 48000
@@ -38,9 +39,9 @@ def main():
             oracle.fir_direct(oracle.resample_poly(x[c].astype(np.float64), 160, 147), h_bp)
             for c in range(2)
         ])
-        assert out.shape == ref.shape, "structural mismatch"
+        check(out.shape == ref.shape, "structural mismatch")
         snr = snr_db(ref, out)
-        assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
+        check(snr >= 60.0, f"parity FAILED: {snr:.1f} dB")
 
     maybe_write(args, out, RATE_OUT)
     report("config2_stereo_resample_bandpass", x, out, dt, snr, args)

@@ -13,6 +13,7 @@ from audiosignalprocess_tpu.cpu_ref import oracle
 from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
 from audiosignalprocess_tpu.parallel.sharded import sharded_noise_gate
 from audiosignalprocess_tpu.pipeline import Chain, GateStage
+from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed
 
 RATE = 48000
@@ -44,9 +45,9 @@ def main():
     if args.check:
         ref = np.stack([oracle.noise_gate(x[c].astype(np.float64)) for c in range(8)])
         got = out[:, : ref.shape[-1]]
-        assert np.allclose(out[:, ref.shape[-1]:], 0.0, atol=1e-6), "tail not zero"
+        check(np.allclose(out[:, ref.shape[-1]:], 0.0, atol=1e-6), "tail not zero")
         snr = snr_db(ref, got)
-        assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
+        check(snr >= 60.0, f"parity FAILED: {snr:.1f} dB")
 
     maybe_write(args, out, RATE)
     report(f"config3_8ch_noise_gate_{ch}dev", x, out, dt, snr, args)

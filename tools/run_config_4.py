@@ -17,6 +17,7 @@ from audiosignalprocess_tpu.ops.overlap_save import overlap_save
 from audiosignalprocess_tpu.parallel.launch import initialize
 from audiosignalprocess_tpu.parallel.mesh import make_mesh, shard_audio
 from audiosignalprocess_tpu.parallel.sharded import sharded_overlap_save
+from audiosignalprocess_tpu.utils.validate import check
 from tools.common import load_or_make, maybe_write, report, snr_db, std_parser, timed, to_host
 
 RATE = 96000
@@ -65,8 +66,8 @@ def main():
             oracle.fir_direct(x[c].astype(np.float64), h) for c in range(4)
         ])
         snr = snr_db(ref, out[:4])
-        assert out.shape == x.shape, "structural mismatch"
-        assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
+        check(out.shape == x.shape, "structural mismatch")
+        check(snr >= 60.0, f"parity FAILED: {snr:.1f} dB")
 
     maybe_write(args, out, RATE)
     report(f"config4_64ch_4096tap_halo_{ch}x{tm}", x, out, dt, snr, args)

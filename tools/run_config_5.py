@@ -46,7 +46,8 @@ def build_chain(fused: bool = True, composite: bool = False) -> Chain:
 
 
 def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
-             ckpt=None, logger=None, batch_blocks=1, warmup=False):
+             ckpt=None, logger=None, batch_blocks=1, warmup=False,
+             drain=False):
     """Ring-buffer streaming: a native decode thread (asp_io.c WavReader)
     feeds the SPSC ring while the device runs the jitted chain step —
     host decode overlaps device compute (BASELINE.json:11).  ``resume``
@@ -58,8 +59,14 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
     the per-call round trip across K blocks.  ``warmup=True`` precompiles
     the jitted step(s) BEFORE the timed dispatch loop (lower+compile
     only, nothing executes, carries untouched) so the returned wall time
-    measures streaming rather than first-call compilation.  Returns
-    (output, blocks_processed, dispatch_seconds)."""
+    measures streaming rather than first-call compilation.
+    ``drain=True`` processes the ENTIRE file: the tail remainder is
+    zero-padded to a whole block, extra zero blocks flush the carried
+    latency, and the returned output is exactly
+    ``chain.out_len(num_frames)`` samples aligned to position 0 —
+    identical in length and (to streaming reassociation) content to
+    ``chain.stream(x, block, drain=True)`` / ``chain.full_flush(x)``.
+    Returns (output, blocks_processed, dispatch_seconds)."""
     import threading
     import time as _time
 
@@ -70,9 +77,20 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
 
     check(batch_blocks >= 1, "batch_blocks must be >= 1")
     reader = WavReader(wav_path)
-    assert reader.channels == channels, (reader.channels, channels)
-    total = reader.num_frames // block
-    if nblocks is None or nblocks > total:
+    check(reader.channels == channels,
+          f"WAV has {reader.channels} channels, expected {channels}")
+    n_in = reader.num_frames
+    total = n_in // block
+    if drain:
+        check(nblocks is None, "drain streams the whole file (no nblocks)")
+        check(resume is None, "drain trims a full-stream output; run "
+              "restart demos without --drain")
+        nblocks = chain.drain_blocks(n_in, block)
+        # arm end-of-file semantics BEFORE the step is traced (frames
+        # straddling EOF masked, finite-file WOLA ramp-out); disarmed in
+        # the finally below
+        chain.arm_eof(n_in)
+    elif nblocks is None or nblocks > total:
         nblocks = total
     ring = RingBuffer(channels, block * max(8, 2 * batch_blocks))
     states = chain.init_state((channels,), block, jnp.float32)
@@ -85,6 +103,13 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
             reader.read_block(block)
         for _ in range(start_block, nblocks):
             blk = reader.read_block(block)
+            if blk.shape[1] < block:
+                # file-tail remainder / past EOF (drain mode): zero-pad
+                # to a whole block — never reached without drain (nblocks
+                # <= num_frames // block there)
+                blk = np.concatenate(
+                    [blk, np.zeros((channels, block - blk.shape[1]),
+                                   np.float32)], axis=1)
             off = 0
             while off < blk.shape[1]:
                 pushed = ring.push(blk[:, off:])
@@ -150,7 +175,12 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
     th.join()
     dt = _time.perf_counter() - t_loop
     reader.close()
-    return np.concatenate(outs, axis=-1), nblocks - start_block, dt
+    if drain:
+        chain.disarm_eof()
+    out = np.concatenate(outs, axis=-1)
+    if drain and start_block == 0:
+        out = out[..., chain.latency : chain.latency + chain.out_len(n_in)]
+    return out, nblocks - start_block, dt
 
 
 def main():
@@ -171,6 +201,11 @@ def main():
                    help="run the whole chain as ONE composite stage whose "
                         "streaming step is a single Pallas kernel per block "
                         "(resample+FIR+gate+envelope folded)")
+    p.add_argument("--drain", action="store_true",
+                   help="ring mode: process the ENTIRE file — zero-pad the "
+                        "tail remainder, flush the carried latency, emit "
+                        "exactly chain.out_len(num_frames) samples (matches "
+                        "chain.full_flush)")
     args = p.parse_args()
     initialize(args.coordinator, args.num_processes, args.process_id)
 
@@ -190,28 +225,38 @@ def main():
         logger = BlockLogger() if args.json or args.bench else None
         out, nb, dt = run_ring(chain, wav_path, BLOCK, CHANNELS,
                                logger=logger, batch_blocks=args.ring_batch,
-                               warmup=args.bench)
-        n = nb * BLOCK
-        x_host = np.asarray(x[:, :n], dtype=np.float32)
+                               warmup=args.bench, drain=args.drain)
+        if args.drain:
+            x_host = np.asarray(x, dtype=np.float32)
+        else:
+            x_host = np.asarray(x[:, : nb * BLOCK], dtype=np.float32)
         snr = None
         if args.check:
-            ref = np.asarray(jax.jit(lambda v: chain.stream(v, BLOCK))(
-                jax.numpy.asarray(x_host)))
+            if args.drain:
+                ref = np.asarray(jax.jit(
+                    lambda v: chain.stream(v, BLOCK, drain=True))(
+                        jax.numpy.asarray(x_host)))
+                check(ref.shape == out.shape,
+                      f"drain length mismatch: {ref.shape} vs {out.shape}")
+            else:
+                ref = np.asarray(jax.jit(lambda v: chain.stream(v, BLOCK))(
+                    jax.numpy.asarray(x_host)))
             exact = np.array_equal(ref, out)
             snr = np.inf if exact else snr_db(
                 ref.astype(np.float64) + 1e-30, out.astype(np.float64) + 1e-30)
-            assert exact or snr >= 100.0, f"ring != stream: {snr:.1f} dB"
+            check(exact or snr >= 100.0, f"ring != stream: {snr:.1f} dB")
         if args.demo_restart:
             import tempfile as _tf
 
             ck = os.path.join(_tf.gettempdir(), "asp_cfg5_carry.npz")
             half = max(1, (x.shape[-1] // BLOCK) // 2)
-            out_a, _ = run_ring(chain, wav_path, BLOCK, CHANNELS,
-                                ckpt=(ck, half), batch_blocks=args.ring_batch)
-            out_b, _ = run_ring(chain, wav_path, BLOCK, CHANNELS, resume=ck,
-                                batch_blocks=args.ring_batch)
+            out_a, _, _ = run_ring(chain, wav_path, BLOCK, CHANNELS,
+                                   ckpt=(ck, half),
+                                   batch_blocks=args.ring_batch)
+            out_b, _, _ = run_ring(chain, wav_path, BLOCK, CHANNELS,
+                                   resume=ck, batch_blocks=args.ring_batch)
             tail = out_a[..., half * chain.out_block(BLOCK):]
-            assert np.array_equal(tail, out_b), "restart-from-block mismatch"
+            check(np.array_equal(tail, out_b), "restart-from-block mismatch")
             print(f"  restart-from-block verified: resumed at block {half}, "
                   f"{out_b.shape[-1]} samples identical")
         maybe_write(args, out, RATE_OUT)
@@ -250,7 +295,7 @@ def main():
             snr = snr_db(full[:, : got.shape[-1]], got)
         else:
             snr = snr_db(full, out[:2])
-        assert snr >= 60.0, f"parity FAILED: {snr:.1f} dB"
+        check(snr >= 60.0, f"parity FAILED: {snr:.1f} dB")
 
     maybe_write(args, out, RATE_OUT)
     report(f"config5_streaming_{CHANNELS}ch_{args.mode}", x_host, out, dt, snr, args)
