@@ -121,9 +121,9 @@ def ola_rows(y, spill, mf, hr, dr, n2):
     return acc[:, :span_r]
 
 
-def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
+def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att,
                  release,
-                 x_hbm, floor_ref, wgrid, inv_norm,
+                 x_hbm, floor_ref, wgrid, inv_norm, valid_ref,
                  c1, s1, c2, s2, tbc, tbs,
                  o_ref, win, spill, rel, sem):
     """Grid (batch_tiles, frame_tiles); row space (rows of n2 samples):
@@ -177,10 +177,10 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att, nframes,
         mask = jnp.stack(rows, axis=1)
     y = fourstep_grid_inv_real(sr * mask, si * mask, n1, n2,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
-    # frames past the last whole frame (oracle has no partial frames) are
+    # invalid frames (past the last whole frame — the oracle has no
+    # partial frames — or, on the sharded path, past the global EOF) are
     # padding that still overlaps real samples — zero their contributions
-    fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
-    y = y * (fidx < nframes).astype(y.dtype)
+    y = y * valid_ref[:][None, :, None, :]
     # OLA + spill carry, then WOLA normalization (1/norm rows arrive
     # pre-sliced via a block-indexed input — no in-kernel gather)
     o_ref[:] = ola_rows(y, spill, mf, hr, dr, n2) * inv_norm[0]
@@ -253,6 +253,25 @@ def noise_gate_fused(
     inv_norm = jnp.asarray(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
+    valid = jnp.asarray(
+        (np.arange(total_f) < nframes).astype(np.float64), dt
+    )[:, None] * jnp.ones((1, n2), dt)
+    y = _gate_call(xp3, floor, valid, inv_norm, wv_np, nfft, hop,
+                   threshold_db, reduction_db, release, mf, nt, tb, dt)
+    out = y.reshape(bp, total_f * hop)[:b, :out_len]
+    return out.reshape(batch + (out_len,))
+
+
+def _gate_call(xp3, floor, valid, inv_norm, wv_np, nfft, hop, threshold_db,
+               reduction_db, release, mf, nt, tb, dt):
+    """Shared pallas_call for the whole-file and per-shard gate wrappers:
+    row-space input + grid floor + per-frame valid rows + 1/norm rows ->
+    emitted OLA rows."""
+    n1, n2 = _grid_split(nfft)
+    d = nfft - hop
+    hr, nr, dr = hop // n2, nfft // n2, d // n2
+    bp = xp3.shape[0]
+    wfetch = hbm_fetch_rows(mf * hr + dr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = grid_table_arrays(nfft, dt, (n1, n2))
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
@@ -261,20 +280,22 @@ def noise_gate_fused(
     bs_c = lambda a: pl.BlockSpec(a.shape, (lambda i, j: (0,) * a.ndim),
                                   memory_space=pltpu.VMEM)
     span_r = mf * hr
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gate_kernel, hr, nr, dr, mf, nt, n1, n2,
-                          thresh_gain, att, nframes, float(release)),
+                          thresh_gain, att, float(release)),
         grid=(bp // tb, nt),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec((tb, n1, n2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   bs_c(wgrid),
                   pl.BlockSpec((1, span_r, n2), lambda i, j: (0, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((mf, n2), lambda i, j: (j, 0),
                                memory_space=pltpu.VMEM)]
         + [bs_c(t) for t in tabs],
         out_specs=pl.BlockSpec((tb, span_r, n2), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, total_f * hr, n2), dt),
+        out_shape=jax.ShapeDtypeStruct((bp, nt * mf * hr, n2), dt),
         scratch_shapes=[
             pltpu.VMEM((2, tb, wfetch, n2), dt),
             pltpu.VMEM((tb, dr, n2), dt),
@@ -285,9 +306,103 @@ def noise_gate_fused(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(xp3, floor, wgrid, inv_norm, *tabs)
-    out = y.reshape(bp, total_f * hop)[:b, :out_len]
-    return out.reshape(batch + (out_len,))
+    )(xp3, floor, wgrid, inv_norm, valid, *tabs)
+
+
+def floor_grid_prologue_half(x_pro, nfft, hop, window_kind):
+    """Per-channel HALF-spectrum noise floor from the first frames, using
+    the fused kernel's prologue convention (windowed frames -> matmul
+    rfft -> mean |.|) so the sharded and whole-file fused gates share
+    floor numerics bit-for-bit.  x_pro: (…, nfft + (noise_frames-1)*hop)."""
+    wv = jnp.asarray(oracle.window(window_kind, nfft, periodic=True),
+                     x_pro.dtype)
+    pro = frame_op(x_pro, nfft, hop) * wv
+    return jnp.mean(jnp.abs(fft_ops.rfft(pro, impl="matmul")),
+                    axis=-2).astype(x_pro.dtype)
+
+
+def floor_half_to_grid(floor_half, n1, n2):
+    """(…, nbins) half-spectrum magnitude floor -> the kernel's (n1, n2)
+    grid layout (mirror to the full spectrum, G[c, d] = floor[n1*d + c]).
+    The sharded gate computes/psums its floor in the XLA half-spectrum
+    layout (parallel/sharded.gate_shard_body) and feeds the kernel here."""
+    nfft = n1 * n2
+    mirror = np.minimum(np.arange(nfft), nfft - np.arange(nfft))
+    floor_full = jnp.take(floor_half, jnp.asarray(mirror), axis=-1)
+    return jnp.transpose(floor_full.reshape(-1, n2, n1), (0, 2, 1))
+
+
+def gate_shard_fused(
+    x_ext: jnp.ndarray,
+    floor_half: jnp.ndarray,
+    valid_f: jnp.ndarray,
+    nfft: int,
+    hop: int,
+    threshold_db: float,
+    reduction_db: float,
+    window_kind: str = "hann",
+    frames_per_step: int = 8,
+    batch_tile: int = 32,
+) -> jnp.ndarray:
+    """Per-shard fused gate for the TIME-SHARDED path (BASELINE.json:5
+    Pallas inner loops on the sharded pod path): frame + FFT + mask +
+    IFFT + OLA of one shard's frames in ONE kernel, with the cross-shard
+    constructs supplied from outside — ``floor_half`` is the psum'd
+    global noise floor (XLA half-spectrum layout), ``valid_f`` masks the
+    shard's frames against the global EOF, and the returned OLA is
+    UN-normalized with its d-sample spill tail attached (…, l + d): the
+    caller (parallel/sharded.gate_shard_body) exchanges the spill via
+    send_right_add and divides by the global-position WOLA norm.
+
+    x_ext: (…, l + d) local samples + right halo, l a multiple of hop.
+    Release smoothing is not supported (its cross-shard scan correction
+    needs the masks before synthesis — the jnp body handles release).
+    """
+    x_ext = jnp.asarray(x_ext)
+    check_kernel_dtype(x_ext.dtype)
+    check(nfft % hop == 0, 'guard failed: nfft % hop == 0')
+    d = nfft - hop
+    batch = x_ext.shape[:-1]
+    l = x_ext.shape[-1] - d
+    check(l % hop == 0 and l >= hop, f"shard length {l} not a multiple of hop")
+    m = l // hop
+    dt = x_ext.dtype
+    n1, n2 = _grid_split(nfft)
+    check(hop % n2 == 0, f"hop {hop} not a multiple of the row width {n2}")
+    hr = hop // n2
+    xf = x_ext.reshape((-1, l + d))
+    b = xf.shape[0]
+
+    wv_np = oracle.window(window_kind, nfft, periodic=True)
+    floor = floor_half_to_grid(
+        jnp.broadcast_to(floor_half.reshape((-1, floor_half.shape[-1]))
+                         .astype(dt), (b, nfft // 2 + 1)), n1, n2)
+
+    mf = int(frames_per_step)
+    align = max(1, -(-8 // hr))
+    mf = -(-mf // align) * align
+    nt = -(-(m + nfft // hop - 1) // mf)
+    total_f = nt * mf
+    wfetch = hbm_fetch_rows(mf * hr + d // n2, n2)
+    need = ((nt - 1) * mf * hr + wfetch) * n2
+    xp = jnp.concatenate(
+        [xf, jnp.zeros((b, max(0, need - (l + d))), dt)], axis=-1)
+    tb = int(min(batch_tile, b,
+                 vmem_tile_cap(12, mf * nfft, x_ext.dtype.itemsize)))
+    bp = -(-b // tb) * tb
+    valid = jnp.concatenate(
+        [valid_f.astype(dt), jnp.zeros((total_f - m,), dt)]
+    )[:, None] * jnp.ones((1, n2), dt)
+    if bp != b:
+        xp = jnp.pad(xp, ((0, bp - b), (0, 0)))
+        floor = jnp.pad(floor, ((0, bp - b), (0, 0), (0, 0)))
+    nrows_in = xp.shape[-1] // n2
+    xp3 = xp[:, : nrows_in * n2].reshape(bp, nrows_in, n2)
+    inv_norm = jnp.ones((1, total_f * hr, n2), dt)
+    y = _gate_call(xp3, floor, valid, inv_norm, wv_np, nfft, hop,
+                   threshold_db, reduction_db, 0.0, mf, nt, tb, dt)
+    out = y.reshape(bp, total_f * hop)[:b, : l + d]
+    return out.reshape(batch + (l + d,))
 
 
 # ---------------------------------------------------------------------------

@@ -137,9 +137,18 @@ def gate_shard_body(
     impl: str,
     axis_name: str = "time",
     release: float = 0.0,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Per-shard gate body; call inside shard_map.  Output == GateStage.full
-    restricted to this shard's region (last nfft-hop global samples zero)."""
+    restricted to this shard's region (last nfft-hop global samples zero).
+
+    ``fused=True`` runs the per-shard frame/FFT/mask/IFFT/OLA as ONE
+    Pallas kernel (kernels.gate_kernel.gate_shard_fused) with the
+    cross-shard constructs — psum'd noise floor, EOF frame validity,
+    OLA spill exchange, global-position WOLA norm — kept in XLA around
+    it (BASELINE.json:5 Pallas inner loops on the sharded pod path).
+    Requires release == 0 (the release scan's cross-shard correction
+    needs the masks before synthesis; the jnp body handles release)."""
     dtype = x.dtype
     d = nfft - hop
     l = x.shape[-1]
@@ -155,10 +164,37 @@ def gate_shard_body(
     head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
     w = jnp.asarray(window_np(window_kind, nfft), dtype)
     ext = halo_right(x, d, axis_name)
-    frames = frame_op(ext, nfft, hop)  # (..., l/hop, nfft)
     m = l // hop
     starts = idx * l + hop * jnp.arange(m, dtype=jnp.int32)
-    valid = (starts <= n_glob - nfft)[:, None].astype(dtype)
+    valid_f = starts <= n_glob - nfft
+    if fused:
+        from audiosignalprocess_tpu.kernels.fft_kernel import _grid_split
+
+        # same fallback rules as GateStage: f64 and hop narrower than the
+        # kernel lane width run the jnp body (identical numeric contract)
+        fused = dtype != jnp.float64 and hop % _grid_split(nfft)[1] == 0
+    if fused:
+        check(release == 0.0, "fused sharded gate requires release == 0")
+        from audiosignalprocess_tpu.kernels.gate_kernel import (
+            floor_grid_prologue_half, gate_shard_fused,
+        )
+
+        check(l >= nfft + (noise_frames - 1) * hop,
+              "fused sharded gate: shard 0 must hold the floor prologue")
+        # noise floor via the fused kernel's prologue convention (matmul
+        # rfft — matches noise_gate_fused bit-for-bit), psum'd from shard 0
+        floor_loc = floor_grid_prologue_half(
+            x[..., : d + noise_frames * hop], nfft, hop, window_kind)
+        floor_half = lax.psum(
+            jnp.where(idx == 0, floor_loc, jnp.zeros_like(floor_loc)),
+            axis_name)
+        acc = gate_shard_fused(ext, floor_half, valid_f, nfft, hop,
+                               threshold_db, reduction_db, window_kind)
+        return _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np,
+                                    tail_np, const, nfft, hop, dtype,
+                                    axis_name)
+    frames = frame_op(ext, nfft, hop)  # (..., l/hop, nfft)
+    valid = valid_f[:, None].astype(dtype)
     spec = fft_ops.rfft(frames * w, impl=impl) * valid
     mag = jnp.abs(spec).astype(dtype)
     # global noise floor: the first noise_frames frames live on shard 0
@@ -196,10 +232,18 @@ def gate_shard_body(
     for j in range(r):
         acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
     acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : l + d]
-    # spill the (d)-sample OLA tail into the right neighbor's first d samples
+    return _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np, tail_np,
+                                const, nfft, hop, dtype, axis_name)
+
+
+def _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np, tail_np, const,
+                         nfft, hop, dtype, axis_name):
+    """Shared sharded-gate epilogue: exchange the d-sample OLA spill into
+    the right neighbor's head (SURVEY.md §2 P4), then divide by the
+    whole-file WOLA norm at global positions (head ramp / interior /
+    finite-file tail ramp / 1.0 in the zero pad)."""
     num_head = send_right_add(acc[..., l : l + d], acc[..., :d], axis_name)
     num = jnp.concatenate([num_head, acc[..., d:l]], axis=-1)
-    # whole-file WOLA norm at global positions
     pvec = idx * l + jnp.arange(l, dtype=jnp.int32)
     head = jnp.asarray(head_np, dtype)
     tail = jnp.asarray(tail_np, dtype)
@@ -229,10 +273,13 @@ def sharded_noise_gate(
     """(C, N) -> (C, N) spectral noise gate == GateStage.full, channel+time
     sharded (configs 3/5).
 
-    ``fused=True`` runs the fused Pallas gate kernel per shard when the
-    mesh has no time sharding (channel shards see whole signals); with
-    time sharding the halo/spill jnp body is used (the fused kernel's
-    floor/OLA are whole-signal constructs)."""
+    ``fused=True`` runs the fused Pallas gate kernel per shard: with no
+    time sharding, the whole-file kernel (channel shards see whole
+    signals); with time sharding, the per-shard kernel around the XLA
+    cross-shard constructs (gate_shard_body fused=True — psum floor, EOF
+    validity, spill exchange, global norm).  Release smoothing with time
+    shards uses the jnp body (its cross-shard scan correction needs the
+    masks before synthesis)."""
     time_sharded = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
         "time", 1) > 1
 
@@ -249,7 +296,8 @@ def sharded_noise_gate(
                 [y, jnp.zeros(x.shape[:-1] + (pad,), y.dtype)], axis=-1)
         return gate_shard_body(x, nfft, hop, threshold_db, reduction_db,
                                noise_frames, window_kind, impl,
-                               release=release)
+                               release=release,
+                               fused=fused and release == 0.0)
 
     return _smap(mesh, local)
 
@@ -442,7 +490,8 @@ def chain_shard_body(chain, x: jnp.ndarray, axis_name: str = "time") -> jnp.ndar
             x = gate_shard_body(x, s.nfft, s.hop, s.threshold_db,
                                 s.reduction_db, s.noise_frames,
                                 s.window_kind, s.impl, axis_name,
-                                release=s.release)
+                                release=s.release,
+                                fused=s.fused and s.release == 0.0)
         elif isinstance(s, StretchStage):
             x = stretch_shard_body(x, s.p, s.q, s.nfft, s.hop,
                                    s.window_kind, s.impl, axis_name)

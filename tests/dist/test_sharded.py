@@ -220,6 +220,45 @@ class TestFusedSharded:
                         for i in range(8)])
         assert oracle.snr_db(ref, out.astype(np.float64)) >= 60.0
 
+    @pytest.mark.parametrize("ch,tm", ((1, 8), (2, 4), (4, 2), (8, 1)))
+    def test_gate_fused_time_sharded(self, rng, ch, tm):
+        """Fused Pallas gate per TIME shard (BASELINE.json:5 Pallas inner
+        loops on the sharded pod path): the kernel runs per shard with the
+        cross-shard constructs in XLA around it — psum'd noise floor, EOF
+        frame validity, OLA spill exchange, global-position WOLA norm.
+        Matches the whole-file fused gate (bitwise on channel-only
+        meshes; OLA re-association at shard boundaries otherwise) and the
+        f64 oracle."""
+        from audiosignalprocess_tpu.kernels.gate_kernel import (
+            noise_gate_fused,
+        )
+
+        mesh = make_mesh(channel=ch, time=tm)
+        n = 8192 * 4
+        fs = 48000
+        t = np.arange(n) / fs
+        x = (0.01 * rng.standard_normal((8, n))).astype(np.float32)
+        x += np.where((t > 0.2) & (t < 0.5),
+                      np.sin(2 * np.pi * 440.0 * t), 0.0).astype(np.float32)
+        out = np.asarray(sharded_noise_gate(mesh, noise_frames=8, fused=True)(
+            shard_audio(x, mesh)))
+        import jax
+
+        ref = np.asarray(jax.jit(lambda v: noise_gate_fused(
+            v, 1024, 256, 6.0, 60.0, 8, 0.0, "hann"))(jnp.asarray(x)))
+        ref = np.concatenate(
+            [ref, np.zeros((8, n - ref.shape[-1]), np.float32)], axis=-1)
+        if tm == 1:
+            np.testing.assert_array_equal(out, ref)
+        else:
+            assert oracle.snr_db(ref.astype(np.float64) + 1e-30,
+                                 out.astype(np.float64) + 1e-30) >= 120.0
+        ref_o = oracle.noise_gate(x.astype(np.float64), 1024, 256,
+                                  noise_frames=8)
+        m = min(ref_o.shape[-1], n)
+        assert oracle.snr_db(ref_o[..., :m],
+                             out[..., :m].astype(np.float64)) >= 60.0
+
 
 class TestShardedGateRelease:
     @pytest.mark.parametrize("ch,tm", ((1, 8), (2, 4)))

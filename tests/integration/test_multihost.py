@@ -31,7 +31,7 @@ def test_simulated_two_host_config4():
              "--simulate", "2", "--devices-per-host", "4", "--port", port,
              "--",
              os.path.join(REPO, "tools", "run_config_4.py"),
-             "--check", "--json", "--seconds", "1", "--no-fused"],
+             "--check", "--json", "--seconds", "1"],
             capture_output=True, text=True, env=env, timeout=850,
         )
         if r.returncode == 0:
