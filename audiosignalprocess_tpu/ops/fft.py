@@ -48,9 +48,15 @@ def _resolve_impl(impl: str, kind: str, dtype) -> str:
 
     kind: "fft" (complex transform) or "rfft" (real packing).  The TPU
     choices follow the measured roofline (docs/PERF.md): Stockham
-    butterfly kernel for complex transforms, MXU four-step for the real
-    packing.  f64 (no TPU support) and non-TPU backends get the XLA
-    einsum four-step, which the compiler fuses well everywhere.
+    butterfly kernel for complex transforms; for the real packing, the
+    SPLIT route — XLA pack/untangle around the Stockham complex kernel
+    ("pallas_sk_split", measured <= the MXU four-step at n in {1024,
+    4096} and ~exact-f32 SNR vs the four-step's bf16x3) — while the
+    single-pass fused real kernels (impl="pallas_sk") stay the
+    full-bandwidth design point (their in-kernel sublane deinterleave
+    is compute-bound on this throttled chip; docs/PERF.md isolation).
+    f64 (no TPU support) and non-TPU backends get the XLA einsum
+    four-step, which the compiler fuses well everywhere.
     """
     if impl != "auto":
         return impl
@@ -58,7 +64,7 @@ def _resolve_impl(impl: str, kind: str, dtype) -> str:
         return "matmul"
     if jax.default_backend() == "tpu" and not os.environ.get(
             "ASP_INTERPRET_PALLAS"):
-        return "pallas_sk" if kind == "fft" else "matmul"
+        return "pallas_sk" if kind == "fft" else "pallas_sk_split"
     return "matmul"
 
 # ---------------------------------------------------------------------------
@@ -266,6 +272,10 @@ _IMPLS = {
     "pallas_r2": _fft_pallas_r2,  # TPU-compiled butterfly kernel (lanes)
     "pallas_sk": _fft_pallas_sk,  # Stockham butterflies (perf path)
     "pallas_r2_stages": _fft_pallas_r2_stages,  # interpret-only structural
+    # real transforms only: XLA pack/untangle around the Stockham kernel
+    # (the measured real-transform default on this chip; the FUSED real
+    # kernels rfft_stockham/irfft_stockham are impl="pallas_sk")
+    "pallas_sk_split": _fft_pallas_sk,
 }
 
 

@@ -26,6 +26,8 @@ import time
 
 import numpy as np
 
+from audiosignalprocess_tpu.utils.validate import check
+
 # honor ASP_FORCE_PLATFORM (the TPU plugin ignores JAX_PLATFORMS; only
 # jax.config works, and it must run before backend init — CLAUDE.md)
 _plat = os.environ.get("ASP_FORCE_PLATFORM")
@@ -156,7 +158,7 @@ def bench_fir_stft_chain(
     t0 = time.perf_counter()
     checksum = float(timed_loop(x2))
     dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(checksum)
+    check(np.isfinite(checksum), f"non-finite checksum: {checksum}")
 
     total_samples = channels * n
     return total_samples / dt

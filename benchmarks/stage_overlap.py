@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
 
+from audiosignalprocess_tpu.utils.validate import check
+
 import argparse
 import json
 import time
@@ -132,7 +134,7 @@ def main():
     b = np.asarray(jax.jit(skew)(x))
     shift = chain.stages[0].out_block(args.block)
     err = np.max(np.abs(b[..., shift:] - a[..., : a.shape[-1] - shift]))
-    assert err < 1e-4, f"skewed stream diverges: {err}"
+    check(err < 1e-4, f"skewed stream diverges: {err}")
 
     t_seq = measure(seq, x)
     t_skew = measure(skew, x)

@@ -4,6 +4,7 @@ Acceptance (SURVEY.md §4.1): >= 60 dB SNR for f32 paths, near machine
 precision for f64; exact structural parity (shapes, bin counts).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,3 +143,24 @@ class TestAutoImpl:
                             s.imag.astype(np.float64)], axis=None)) >= 100.0
         y = np.asarray(fft_ops.irfft(s, 512, impl="auto"))
         assert oracle.snr_db(x.astype(np.float64), y) >= 100.0
+
+
+class TestSplitRealRoute:
+    """impl="pallas_sk_split": XLA pack/untangle around the Stockham
+    complex kernel — the measured auto real-transform route on TPU
+    (docs/PERF.md round 3); interpret-mode parity pins the same path."""
+
+    @pytest.mark.parametrize("n", (256, 1024, 4096))
+    def test_rfft_irfft_roundtrip_vs_oracle(self, rng, n):
+        import jax
+
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        spec = np.asarray(jax.jit(
+            lambda v: fft_ops.rfft(v, impl="pallas_sk_split"))(x))
+        ref = np.fft.rfft(x.astype(np.float64))
+        err = np.abs(ref - spec.astype(np.complex128))
+        snr = 10 * np.log10(np.sum(np.abs(ref) ** 2) / np.sum(err ** 2))
+        assert snr >= 100.0
+        back = np.asarray(jax.jit(lambda v: fft_ops.irfft(
+            v, n, impl="pallas_sk_split"))(jnp.asarray(spec)))
+        assert oracle.snr_db(x.astype(np.float64), back) >= 100.0

@@ -42,6 +42,8 @@ os.environ.setdefault("ASP_VMEM_MB", "512")
 
 from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
 
+from audiosignalprocess_tpu.utils.validate import check
+
 
 def parse_ints(s: str):
     return [int(v) for v in s.split(",") if v]
@@ -115,7 +117,7 @@ def main():
         t0 = time.perf_counter()
         cs = float(loop(x2))
         dt = (time.perf_counter() - t0) / args.iters
-        assert np.isfinite(cs)
+        check(np.isfinite(cs), f"non-finite checksum: {cs}")
         return args.channels * n / dt
 
     best = None
