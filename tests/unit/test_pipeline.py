@@ -514,3 +514,33 @@ class TestDrain:
         x[:, 8000:20000] += np.sin(
             2 * np.pi * 440.0 * np.arange(12000) / 44100.0).astype(np.float32)
         self._drain_equals_flush(c, x, 2 * 1176, min_snr=80.0)
+
+    # -- geometry fuzz ------------------------------------------------------
+
+    @staticmethod
+    def _fuzz_cases(k):
+        rng = np.random.default_rng(2028)
+        out = []
+        # streaming needs COLA for w^2 (interior const norm): overlap >= 4x
+        combos = [(512, 128), (1024, 256), (1024, 128), (2048, 512)]
+        for _ in range(k):
+            nfft, hop = combos[int(rng.integers(len(combos)))]
+            # block: a hop multiple; n: anything past the set_eof guards
+            block = hop * int(rng.integers(2, 9))
+            n = int(rng.integers(3 * nfft, 10 * nfft)) \
+                + int(rng.integers(hop))
+            fused = bool(rng.integers(2))
+            out.append((nfft, hop, block, n, fused))
+        return out
+
+    @pytest.mark.parametrize("nfft,hop,block,n,fused", _fuzz_cases.__func__(10))
+    def test_gate_drain_fuzz(self, rng, nfft, hop, block, n, fused):
+        """Drain == full_flush across random (nfft, hop, block, n, fused)
+        geometries — the EOF machinery's branch points (pad, drain
+        blocks, frame bounds, tail-ramp offsets) all move with these."""
+        x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+        x[:, n // 4 : n // 2] += np.sin(
+            0.05 * np.arange(n // 2 - n // 4)).astype(np.float32)
+        c = Chain([GateStage(nfft=nfft, hop=hop, noise_frames=4,
+                             fused=fused)])
+        self._drain_equals_flush(c, x, block, min_snr=90.0)
