@@ -48,14 +48,9 @@ from audiosignalprocess_tpu.utils.validate import check
 def floor_grid(frames_windowed, n1, n2, dtype):
     """Per-channel noise-floor in the kernel's (n1, n2) grid layout from
     pre-windowed prologue frames (shared by the gate and chain kernels)."""
-    nfft = n1 * n2
     floor_half = jnp.mean(jnp.abs(fft_ops.rfft(frames_windowed, impl="matmul")),
                           axis=-2).astype(dtype)
-    # mirror to the full spectrum (real input: |S[k]| == |S[n-k]|), then
-    # rearrange to G[c, d] = floor[n1*d + c]
-    mirror = np.minimum(np.arange(nfft), nfft - np.arange(nfft))
-    floor_full = jnp.take(floor_half, jnp.asarray(mirror), axis=-1)
-    return jnp.transpose(floor_full.reshape(-1, n2, n1), (0, 2, 1))
+    return floor_half_to_grid(floor_half, n1, n2)
 
 
 def inv_norm_rows(wv_np, nfft, hop, nframes, total_len):

@@ -179,12 +179,15 @@ def gate_shard_body(
             floor_grid_prologue_half, gate_shard_fused,
         )
 
-        check(l >= nfft + (noise_frames - 1) * hop,
-              "fused sharded gate: shard 0 must hold the floor prologue")
         # noise floor via the fused kernel's prologue convention (matmul
-        # rfft — matches noise_gate_fused bit-for-bit), psum'd from shard 0
+        # rfft — matches noise_gate_fused bit-for-bit), psum'd from shard 0.
+        # Slice the HALO-EXTENDED signal so short shards work: the prologue
+        # needs nfft + (noise_frames-1)*hop = d + noise_frames*hop samples,
+        # and ext holds l + d >= d + noise_frames*hop of them (the l//hop >=
+        # noise_frames check above).  For shard 0 these are exactly the
+        # global signal's first samples, same as the jnp body's ext frames.
         floor_loc = floor_grid_prologue_half(
-            x[..., : d + noise_frames * hop], nfft, hop, window_kind)
+            ext[..., : d + noise_frames * hop], nfft, hop, window_kind)
         floor_half = lax.psum(
             jnp.where(idx == 0, floor_loc, jnp.zeros_like(floor_loc)),
             axis_name)

@@ -342,6 +342,9 @@ class GateStage(Stage):
         d = self.nfft - self.hop
         check(n_in >= self.nfft, f"drain needs >= one complete frame "
               f"(nfft={self.nfft}), got {n_in} input samples — use full()")
+        nframes = 1 + (n_in - self.nfft) // self.hop
+        check(nframes >= self.noise_frames,
+              f"signal has {nframes} frames < noise_frames={self.noise_frames}")
         nout = self.nfft + ((n_in - self.nfft) // self.hop) * self.hop
         check(nout >= 2 * d, f"drain needs disjoint WOLA edge ramps "
               f"(synthesis length {nout} < {2 * d}) — use full()")

@@ -26,15 +26,17 @@ import time
 
 import numpy as np
 
-from audiosignalprocess_tpu.utils.validate import check
-
 # honor ASP_FORCE_PLATFORM (the TPU plugin ignores JAX_PLATFORMS; only
-# jax.config works, and it must run before backend init — CLAUDE.md)
+# jax.config works, and it must run before backend init — CLAUDE.md).
+# Nothing that transitively imports the package (= jax-loading modules)
+# may be imported above this block.
 _plat = os.environ.get("ASP_FORCE_PLATFORM")
 if _plat:
     import jax as _jax
 
     _jax.config.update("jax_platforms", _plat)
+
+from audiosignalprocess_tpu.utils.validate import check  # noqa: E402
 
 
 def bench_fir_stft_chain(

@@ -260,6 +260,26 @@ class TestFusedSharded:
                              out[..., :m].astype(np.float64)) >= 60.0
 
 
+    def test_gate_fused_short_shards(self, rng):
+        """Shards SHORTER than the floor prologue (l < nfft +
+        (noise_frames-1)*hop) must still run the fused kernel: the
+        prologue is sliced from the halo-extended signal, whose samples
+        for shard 0 are exactly the global signal's first samples.
+        Round-3 review regression: an x-based slice hard-errored here
+        while the jnp body (and round 2's silent fallback) worked."""
+        mesh = make_mesh(channel=1, time=8)
+        n = 16384  # l = 2048 < 1024 + 7*256 = 2816 prologue samples
+        x = (0.01 * rng.standard_normal((8, n))).astype(np.float32)
+        x[:, 4000:9000] += np.sin(
+            2 * np.pi * 440.0 * np.arange(5000) / 48000).astype(np.float32)
+        out = np.asarray(sharded_noise_gate(mesh, noise_frames=8, fused=True)(
+            shard_audio(x, mesh)))
+        ref = np.asarray(sharded_noise_gate(mesh, noise_frames=8, fused=False)(
+            shard_audio(x, mesh)))
+        assert oracle.snr_db(ref.astype(np.float64) + 1e-30,
+                             out.astype(np.float64) + 1e-30) >= 120.0
+
+
 class TestShardedGateRelease:
     @pytest.mark.parametrize("ch,tm", ((1, 8), (2, 4)))
     def test_release_matches_unsharded(self, rng, ch, tm):

@@ -435,6 +435,20 @@ class TestDrain:
         x[:, 3000:6000] += np.sin(2 * np.pi * 440.0 * np.arange(3000) / 48000.0)
         self._drain_equals_flush(Chain([GateStage(nfft=1024, hop=256)]), x, 2048)
 
+    def test_gate_drain_short_input_raises_like_full_flush(self, rng):
+        """Drain must enforce the SAME noise-floor completeness bound as
+        full_flush: an input with fewer than noise_frames complete frames
+        raises instead of silently gating against a partial floor
+        (round-3 review regression — stream(drain=True) emitted output
+        where full_flush raised)."""
+        chain = Chain([GateStage(nfft=1024, hop=256, noise_frames=8)])
+        chain.build()
+        x = 0.01 * rng.standard_normal((1, 2100))  # 5 frames < 8
+        with pytest.raises(ValueError, match="noise_frames"):
+            chain.full_flush(x)
+        with pytest.raises(ValueError, match="noise_frames"):
+            chain.stream(x, 512, drain=True)
+
     def test_resample_drain_length_is_rate_map(self, rng):
         """out_len is the ceil rate map: 147 in -> 160 out at 160/147."""
         c = Chain([ResampleStage(up=160, down=147)])

@@ -20,7 +20,15 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from audiosignalprocess_tpu.utils.validate import check
+
+
+def check(cond, msg):
+    """-O-safe guard (mirrors utils.validate.check).  Local copy keeps
+    the launcher import-free of the jax-loading library package: the
+    child processes need their platform env set BEFORE jax initializes,
+    and the parent has no reason to pay (or risk) a backend init."""
+    if not cond:
+        raise ValueError(msg)
 
 
 def main():

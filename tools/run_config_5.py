@@ -92,91 +92,95 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
         chain.arm_eof(n_in)
     elif nblocks is None or nblocks > total:
         nblocks = total
-    ring = RingBuffer(channels, block * max(8, 2 * batch_blocks))
-    states = chain.init_state((channels,), block, jnp.float32)
-    start_block = 0
-    if resume:
-        states, start_block = load_carry(resume, states)
+    try:
+        ring = RingBuffer(channels, block * max(8, 2 * batch_blocks))
+        states = chain.init_state((channels,), block, jnp.float32)
+        start_block = 0
+        if resume:
+            states, start_block = load_carry(resume, states)
 
-    def producer():
-        for _ in range(start_block):  # restart-from-block: skip processed
-            reader.read_block(block)
-        for _ in range(start_block, nblocks):
-            blk = reader.read_block(block)
-            if blk.shape[1] < block:
-                # file-tail remainder / past EOF (drain mode): zero-pad
-                # to a whole block — never reached without drain (nblocks
-                # <= num_frames // block there)
-                blk = np.concatenate(
-                    [blk, np.zeros((channels, block - blk.shape[1]),
-                                   np.float32)], axis=1)
-            off = 0
-            while off < blk.shape[1]:
-                pushed = ring.push(blk[:, off:])
-                off += pushed
-                if pushed == 0:
-                    _time.sleep(0.0002)
+        def producer():
+            for _ in range(start_block):  # restart-from-block: skip processed
+                reader.read_block(block)
+            for _ in range(start_block, nblocks):
+                blk = reader.read_block(block)
+                if blk.shape[1] < block:
+                    # file-tail remainder / past EOF (drain mode): zero-pad
+                    # to a whole block — never reached without drain (nblocks
+                    # <= num_frames // block there)
+                    blk = np.concatenate(
+                        [blk, np.zeros((channels, block - blk.shape[1]),
+                                       np.float32)], axis=1)
+                off = 0
+                while off < blk.shape[1]:
+                    pushed = ring.push(blk[:, off:])
+                    off += pushed
+                    if pushed == 0:
+                        _time.sleep(0.0002)
 
-    # donate the carry: every step writes its new carry in place of the
-    # old one's HBM instead of allocating fresh buffers per block
-    step = jax.jit(chain.step, donate_argnums=(0,))
+        # donate the carry: every step writes its new carry in place of the
+        # old one's HBM instead of allocating fresh buffers per block
+        step = jax.jit(chain.step, donate_argnums=(0,))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_k(st, blocks):  # blocks: (K, C, block)
-        return jax.lax.scan(lambda s, xb: chain.step(s, xb), st, blocks)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_k(st, blocks):  # blocks: (K, C, block)
+            return jax.lax.scan(lambda s, xb: chain.step(s, xb), st, blocks)
 
-    if warmup:
-        # lower+compile only — nothing executes, the donated carry
-        # buffers are untouched; the actual first call re-traces but hits
-        # the (in-process + persistent) compilation cache
-        zb = jnp.zeros((channels, block), jnp.float32)
-        step.lower(states, zb).compile()
-        if batch_blocks > 1:
-            step_k.lower(states, jnp.zeros((batch_blocks, channels, block),
-                                           jnp.float32)).compile()
+        if warmup:
+            # lower+compile only — nothing executes, the donated carry
+            # buffers are untouched; the actual first call re-traces but hits
+            # the (in-process + persistent) compilation cache
+            zb = jnp.zeros((channels, block), jnp.float32)
+            step.lower(states, zb).compile()
+            if batch_blocks > 1:
+                step_k.lower(states, jnp.zeros((batch_blocks, channels, block),
+                                               jnp.float32)).compile()
 
-    # timing starts here: decode-thread fill + device dispatch, no
-    # compilation (the ring capacity bounds the producer's head start to
-    # max(8, 2K) blocks, so decode stays inside the measured window)
-    t_loop = _time.perf_counter()
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
-    outs = []
-    bi = start_block
-    while bi < nblocks:
-        # never batch across a checkpoint boundary (state must exist at
-        # exactly ckpt[1] processed blocks)
-        stop = nblocks
-        if ckpt is not None and bi < ckpt[1]:
-            stop = min(stop, ckpt[1])
-        # full batches only: a ragged tail scan would be a fresh compile
-        # per distinct K, so the remainder runs single steps
-        k = batch_blocks if stop - bi >= batch_blocks else 1
-        while ring.readable < block * k:
-            _time.sleep(0.0002)
-        blk, _ = ring.pop(block * k)
-        t0 = _time.perf_counter()
-        if k > 1:
-            xb = jnp.asarray(
-                blk.reshape(channels, k, block).transpose(1, 0, 2))
-            states, ys = step_k(states, xb)
-            y = np.moveaxis(np.asarray(ys), 0, -2).reshape(channels, -1)
-        else:
-            states, y = step(states, jnp.asarray(blk))
-            y = np.asarray(y)
-        outs.append(y)
-        if logger is not None:
-            logger.tick(int(blk.size), block_index=bi, blocks=k,
-                        step_ms=round(1e3 * (_time.perf_counter() - t0), 3),
-                        ring_fill=int(ring.readable))
-        bi += k
-        if ckpt is not None and bi == ckpt[1]:
-            save_carry(ckpt[0], states, bi)
-    th.join()
-    dt = _time.perf_counter() - t_loop
-    reader.close()
-    if drain:
-        chain.disarm_eof()
+        # timing starts here: decode-thread fill + device dispatch, no
+        # compilation (the ring capacity bounds the producer's head start to
+        # max(8, 2K) blocks, so decode stays inside the measured window)
+        t_loop = _time.perf_counter()
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        outs = []
+        bi = start_block
+        while bi < nblocks:
+            # never batch across a checkpoint boundary (state must exist at
+            # exactly ckpt[1] processed blocks)
+            stop = nblocks
+            if ckpt is not None and bi < ckpt[1]:
+                stop = min(stop, ckpt[1])
+            # full batches only: a ragged tail scan would be a fresh compile
+            # per distinct K, so the remainder runs single steps
+            k = batch_blocks if stop - bi >= batch_blocks else 1
+            while ring.readable < block * k:
+                _time.sleep(0.0002)
+            blk, _ = ring.pop(block * k)
+            t0 = _time.perf_counter()
+            if k > 1:
+                xb = jnp.asarray(
+                    blk.reshape(channels, k, block).transpose(1, 0, 2))
+                states, ys = step_k(states, xb)
+                y = np.moveaxis(np.asarray(ys), 0, -2).reshape(channels, -1)
+            else:
+                states, y = step(states, jnp.asarray(blk))
+                y = np.asarray(y)
+            outs.append(y)
+            if logger is not None:
+                logger.tick(int(blk.size), block_index=bi, blocks=k,
+                            step_ms=round(1e3 * (_time.perf_counter() - t0), 3),
+                            ring_fill=int(ring.readable))
+            bi += k
+            if ckpt is not None and bi == ckpt[1]:
+                save_carry(ckpt[0], states, bi)
+        th.join()
+        dt = _time.perf_counter() - t_loop
+    finally:
+        reader.close()
+        if drain:
+            # EOF state is per-run: never leak armed stages into a
+            # caller's later non-drain use of the same chain
+            chain.disarm_eof()
     out = np.concatenate(outs, axis=-1)
     if drain and start_block == 0:
         out = out[..., chain.latency : chain.latency + chain.out_len(n_in)]
