@@ -140,17 +140,28 @@ def chain_file(path_in: str, path_out: str, rate_out: int = 48000,
     (must be a multiple of the stage's input quantum;
     kernels.res_chain_kernel.res_step_geometry) and as the fused
     whole-file kernels otherwise."""
-    from audiosignalprocess_tpu.pipeline import Chain, ResFIRGateStage
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, FIRGateStage, ResFIRGateStage,
+    )
 
     x, rate = read_wav(path_in)
     fr = Fraction(rate_out, rate)
     fc = 2.0 * cutoff_hz / rate_out if cutoff_hz is not None else 0.3
     env_h = (design_fir(env_numtaps, 2.0 * envelope_hz / rate_out)
              if envelope_hz is not None else None)
-    chain = Chain([ResFIRGateStage(
-        up=fr.numerator, down=fr.denominator, h=design_fir(numtaps, fc),
-        nfft=nfft, hop=hop, threshold_db=threshold_db,
-        reduction_db=reduction_db, noise_frames=noise_frames, env_h=env_h)])
+    if fr == 1:
+        # file already at rate_out: no resampler (a 1/1 polyphase stage
+        # has no prototype filter — its cutoff would sit AT Nyquist)
+        stage = FIRGateStage(
+            h=design_fir(numtaps, fc), nfft=nfft, hop=hop,
+            threshold_db=threshold_db, reduction_db=reduction_db,
+            noise_frames=noise_frames, env_h=env_h)
+    else:
+        stage = ResFIRGateStage(
+            up=fr.numerator, down=fr.denominator, h=design_fir(numtaps, fc),
+            nfft=nfft, hop=hop, threshold_db=threshold_db,
+            reduction_db=reduction_db, noise_frames=noise_frames, env_h=env_h)
+    chain = Chain([stage])
     chain.build()
     # Both modes process the ENTIRE file (end-of-file flush) and emit
     # exactly chain.out_len(n) samples: streaming pads to whole blocks

@@ -130,6 +130,37 @@ def test_chain_file(tmp_path):
     assert oracle.snr_db(ref2[:m2], y2[0, :m2]) >= 60.0
 
 
+def test_chain_file_already_at_rate(tmp_path):
+    """chain_file on a file ALREADY at rate_out: no resampler stage (a
+    1/1 polyphase prototype has no valid cutoff — this crashed before),
+    same lowpass+gate semantics, whole-file == streamed."""
+    fs = 48000
+    rng = np.random.default_rng(5)
+    n = 48000 + 1234  # non-block-multiple exercises the drain path
+    x = 0.01 * rng.standard_normal(n)
+    x[10000:30000] += np.sin(2 * np.pi * 440 * np.arange(20000) / fs)
+    p = str(tmp_path / "in48.wav")
+    write_wav(p, x.astype(np.float32), fs, float_fmt=True)
+
+    out = str(tmp_path / "full.wav")
+    shape = api.chain_file(p, out, rate_out=48000, noise_frames=4,
+                           float_fmt=True)
+    y, rate = read_wav(out, dtype=np.float64)
+    assert rate == 48000 and y.shape == tuple(shape)
+    ref = oracle.noise_gate(
+        oracle.fir_direct(x.astype(np.float64), oracle.design_fir(64, 0.3)),
+        noise_frames=4)
+    m = min(y.shape[-1], ref.shape[-1])
+    assert oracle.snr_db(ref[:m], y[0, :m]) >= 60.0
+
+    out2 = str(tmp_path / "blk.wav")
+    api.chain_file(p, out2, rate_out=48000, noise_frames=4, block=2048,
+                   float_fmt=True)
+    y2, _ = read_wav(out2, dtype=np.float64)
+    assert y2.shape == y.shape
+    assert oracle.snr_db(y[0] + 1e-30, y2[0] + 1e-30) >= 60.0
+
+
 def test_envelope_file(tmp_path):
     fs = 16000
     t = np.arange(16000) / fs
