@@ -786,6 +786,16 @@ class ResFIRGateStage(Stage):
                 batch, self.up, self.down, self.h_res, self.nfft, self.hop,
                 len(self.h), self.noise_frames, self.release, dtype,
                 env_taps=0 if self.env_h is None else len(self.env_h))
+        # name the INPUT-domain quantum in the error: the inner stages
+        # would otherwise report the RESAMPLED block ("block 4800 not a
+        # multiple of hop=256" for a user who passed 4410)
+        k0 = self.hop // math.gcd(self.up, self.hop)
+        quantum = self.down * k0
+        check(block % quantum == 0,
+              f"block {block} not a multiple of this chain's input quantum "
+              f"{quantum} (= down*hop/gcd(up,hop): the resampled block "
+              f"{self.up}/{self.down}*block must be a multiple of "
+              f"hop={self.hop})")
         return [self._res.init_state(batch, block, dtype),
                 self._fg.init_state(batch, self._res.out_block(block), dtype)]
 

@@ -435,6 +435,18 @@ class TestDrain:
         x[:, 3000:6000] += np.sin(2 * np.pi * 440.0 * np.arange(3000) / 48000.0)
         self._drain_equals_flush(Chain([GateStage(nfft=1024, hop=256)]), x, 2048)
 
+    def test_composite_block_quantum_error_names_input_block(self, rng):
+        """A misaligned composite block must be reported in the INPUT
+        domain (the user's block), not the resampled one."""
+        from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+        c = Chain([ResFIRGateStage(up=160, down=147,
+                                   h=oracle.design_fir(64, 0.3))])
+        c.build()
+        x = rng.standard_normal((1, 4410 * 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="input quantum 1176"):
+            c.stream(x, 4410)
+
     def test_gate_drain_short_input_raises_like_full_flush(self, rng):
         """Drain must enforce the SAME noise-floor completeness bound as
         full_flush: an input with fewer than noise_frames complete frames
