@@ -65,6 +65,10 @@ def window(kind: str, n: int, periodic: bool = True) -> np.ndarray:
     """Window function, float64.  kind in {rect, hann, hamming, blackman}."""
     if kind == "rect":
         return np.ones(n, dtype=np.float64)
+    if n == 1 and not periodic:
+        # scipy convention: a 1-point symmetric window is [1.0] (the
+        # 0/0 midpoint), so design_fir(numtaps=1) is the identity tap
+        return np.ones(1, dtype=np.float64)
     denom = n if periodic else n - 1
     t = np.arange(n, dtype=np.float64)
     if kind == "hann":

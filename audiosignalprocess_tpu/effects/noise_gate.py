@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from audiosignalprocess_tpu.ops import fft as fft_ops
-from audiosignalprocess_tpu.ops.stft import istft, stft
+from audiosignalprocess_tpu.ops.stft import istft, num_frames, stft
 from audiosignalprocess_tpu.utils.validate import check
 
 
@@ -58,7 +58,7 @@ def noise_gate(
     (kernels/gate_kernel.py): STFT -> mask -> WOLA ISTFT in one
     VMEM-resident pass (release smoothing included).
     """
-    nframes = 1 + (jnp.shape(x)[-1] - nfft) // hop
+    nframes = num_frames(jnp.shape(x)[-1], nfft, hop)
     check(nframes >= noise_frames, f"signal has {nframes} frames < noise_frames={noise_frames}")
     if fused:
         from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused

@@ -78,22 +78,26 @@ def _rotor_phase(spec, s0, s1):
     return z0r * er - z0i * ei, z0r * ei + z0i * er
 
 
-def stretch_spec(spec: jnp.ndarray, rate: float, nfft: int, hop: int) -> jnp.ndarray:
-    """Resample an STFT along frames with phase accumulation (vectorized)."""
-    nf = spec.shape[-2]
-    nbins = spec.shape[-1]
-    steps = np.arange(0, nf - 1, rate)  # static
-    k = np.floor(steps).astype(np.int64)
-    frac = jnp.asarray(steps - k, jnp.real(spec).dtype)[..., :, None]
-    omega = jnp.asarray(
-        2.0 * np.pi * np.arange(nbins) * hop / nfft, jnp.real(spec).dtype
-    )
+def _stretch_at(spec: jnp.ndarray, k: np.ndarray, frac: jnp.ndarray) -> jnp.ndarray:
+    """Shared stretch body: interpolate magnitudes at analysis positions
+    k + frac and rebuild phase with the exclusive prefix rotors.  The
+    textbook expected-advance term (omega = 2*pi*bin*hop/nfft) cancels
+    exactly in the rotor form — unit(s1 conj(s0)) already carries the
+    full inter-frame phase increment — so no omega array appears here."""
     s0 = jnp.take(spec, jnp.asarray(k), axis=-2)
     s1 = jnp.take(spec, jnp.asarray(k + 1), axis=-2)
     mag = (1.0 - frac) * jnp.abs(s0) + frac * jnp.abs(s1)
-    del omega  # rotor form: the expected-advance term cancels exactly
     pr, pi = _rotor_phase(spec, s0, s1)
     return (mag * (pr + 1j * pi)).astype(spec.dtype)
+
+
+def stretch_spec(spec: jnp.ndarray, rate: float, nfft: int, hop: int) -> jnp.ndarray:
+    """Resample an STFT along frames with phase accumulation (vectorized)."""
+    nf = spec.shape[-2]
+    steps = np.arange(0, nf - 1, rate)  # static
+    k = np.floor(steps).astype(np.int64)
+    frac = jnp.asarray(steps - k, jnp.real(spec).dtype)[..., :, None]
+    return _stretch_at(spec, k, frac)
 
 
 def stretch_steps_rational(nf: int, p: int, q: int):
@@ -114,17 +118,9 @@ def stretch_spec_rational(spec: jnp.ndarray, p: int, q: int, nfft: int,
     stretch_steps_rational).  Used by the streaming StretchStage and the
     sharded vocoder so all three paths share one frame grid."""
     nf = spec.shape[-2]
-    nbins = spec.shape[-1]
     k, fnum = stretch_steps_rational(nf, p, q)
-    rdt = jnp.real(spec).dtype
-    frac = jnp.asarray(fnum / q, rdt)[..., :, None]
-    omega = jnp.asarray(2.0 * np.pi * np.arange(nbins) * hop / nfft, rdt)
-    s0 = jnp.take(spec, jnp.asarray(k), axis=-2)
-    s1 = jnp.take(spec, jnp.asarray(k + 1), axis=-2)
-    mag = (1.0 - frac) * jnp.abs(s0) + frac * jnp.abs(s1)
-    del omega  # rotor form: the expected-advance term cancels exactly
-    pr, pi = _rotor_phase(spec, s0, s1)
-    return (mag * (pr + 1j * pi)).astype(spec.dtype)
+    frac = jnp.asarray(fnum / q, jnp.real(spec).dtype)[..., :, None]
+    return _stretch_at(spec, k, frac)
 
 
 def time_stretch(

@@ -76,11 +76,31 @@ def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+# asp_io.c return codes -> human-readable causes
+_ERRORS = {
+    -1: "cannot open file / out of memory",
+    -2: "not a RIFF/WAVE file",
+    -3: "truncated or malformed fmt chunk",
+    -4: "missing or inconsistent fmt/data chunks",
+    -5: "no data chunk payload",
+    -6: "unsupported PCM bit depth",
+    -7: "unsupported format (decoder handles PCM 8/16/24/32 and float 32/64)",
+    -8: "file would exceed the 4 GiB RIFF size limit",
+    -9: "float64 output unsupported by the native (float32) encoder — "
+        "use io.wav.write_wav",
+}
+
+
+def _err(path: str, what: str, rc: int) -> ValueError:
+    return ValueError(
+        f"{path}: WAV {what} failed ({rc}: {_ERRORS.get(rc, 'unknown error')})")
+
+
 def probe(path: str) -> WavInfo:
     info = WavInfo()
     rc = lib().asp_wav_probe(path.encode(), ctypes.byref(info))
     if rc:
-        raise ValueError(f"{path}: WAV probe failed ({rc})")
+        raise _err(path, "probe", rc)
     return info
 
 
@@ -90,7 +110,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     out = np.empty((info.num_channels, info.num_frames), dtype=np.float32)
     got = lib().asp_wav_read(path.encode(), _fp(out), info.num_frames)
     if got < 0:
-        raise ValueError(f"{path}: WAV read failed ({got})")
+        raise _err(path, "read", got)
     return out[:, :got], info.sample_rate
 
 
@@ -102,7 +122,7 @@ def write_wav(path: str, x: np.ndarray, rate: int, bits: int = 16,
     rc = lib().asp_wav_write(path.encode(), _fp(x), x.shape[0], x.shape[1],
                              rate, bits, int(float_fmt))
     if rc:
-        raise ValueError(f"{path}: WAV write failed ({rc})")
+        raise _err(path, "write", rc)
 
 
 class WavReader:

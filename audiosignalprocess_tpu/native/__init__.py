@@ -16,6 +16,8 @@ import subprocess
 
 import numpy as np
 
+from audiosignalprocess_tpu.utils.validate import check
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "asp_ref.c")
 _LIB = os.path.join(_DIR, "libasp_ref.so")
@@ -207,6 +209,9 @@ def noise_gate(x: np.ndarray, nfft: int = 1024, hop: int = 256,
                threshold_db: float = 6.0, reduction_db: float = 60.0,
                noise_frames: int = 8, window_kind: str = "hann") -> np.ndarray:
     x = _c64(x)
+    check(x.shape[-1] >= nfft,
+          f"signal shorter than one frame (n={x.shape[-1]} < nfft={nfft})")
+    check(noise_frames >= 1, "noise_frames must be >= 1")
     nframes = 1 + (x.shape[-1] - nfft) // hop
     y = np.empty(nfft + (nframes - 1) * hop)
     nout = ctypes.c_int(0)
@@ -216,4 +221,5 @@ def noise_gate(x: np.ndarray, nfft: int = 1024, hop: int = 256,
                    ctypes.c_int, _DP, _IP]
     fn(_dp(x), x.shape[-1], nfft, hop, threshold_db, reduction_db,
        noise_frames, _WIN[window_kind], _dp(y), ctypes.byref(nout))
+    check(nout.value >= 0, "native noise gate rejected the geometry")
     return y[: nout.value]

@@ -34,6 +34,38 @@ static uint16_t rd_u16(const uint8_t *p) {
     return (uint16_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8));
 }
 
+/* Formats this decoder understands (mirrors io/wav.py's accept set:
+ * PCM 8/16/24/32 and IEEE float 32/64).  Anything else must ERROR, not
+ * decode to silence. */
+static int fmt_supported(const asp_wav_info *info) {
+    if (info->float_fmt) return info->bits == 32 || info->bits == 64;
+    return info->bits == 8 || info->bits == 16 || info->bits == 24
+        || info->bits == 32;
+}
+
+/* Decode one interleaved sample at p -> float32 in [-1, 1].  Shared by
+ * the whole-file and streaming readers so the two can never diverge. */
+static float decode_sample(const asp_wav_info *info, const uint8_t *p) {
+    if (info->float_fmt && info->bits == 32) {
+        float fv; memcpy(&fv, p, 4); return fv;
+    } else if (info->float_fmt && info->bits == 64) {
+        double dv; memcpy(&dv, p, 8); return (float)dv;
+    } else if (info->bits == 8) {
+        return ((float)p[0] - 128.0f) / 128.0f;
+    } else if (info->bits == 16) {
+        int16_t s = (int16_t)rd_u16(p);
+        return (float)s / 32768.0f;
+    } else if (info->bits == 24) {
+        int32_t s = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                  | ((uint32_t)p[2] << 16));
+        if (s >= (1 << 23)) s -= (1 << 24);
+        return (float)s / 8388608.0f;
+    }
+    /* 32-bit PCM (fmt_supported guarantees no other case reaches here) */
+    int32_t s = (int32_t)rd_u32(p);
+    return (float)((double)s / 2147483648.0);
+}
+
 /* Parse header; returns 0 on success and fills info. */
 int asp_wav_probe(const char *path, asp_wav_info *info) {
     FILE *f = fopen(path, "rb");
@@ -49,6 +81,7 @@ int asp_wav_probe(const char *path, asp_wav_info *info) {
         uint32_t size = rd_u32(ch + 4);
         if (!memcmp(ch, "fmt ", 4)) {
             uint8_t body[40];
+            if (size < 16) { fclose(f); return -3; }  /* truncated fmt */
             size_t take = size < sizeof(body) ? size : sizeof(body);
             if (fread(body, 1, take, f) != take) { fclose(f); return -3; }
             if (size > take) fseek(f, (long)(size - take), SEEK_CUR);
@@ -60,7 +93,9 @@ int asp_wav_probe(const char *path, asp_wav_info *info) {
             if (tag == 0xFFFE && size >= 40) tag = rd_u16(body + 24);
             have_fmt = 1;
         } else if (!memcmp(ch, "data", 4)) {
-            data_size = (long)size;
+            /* first data chunk wins (io/wav.py convention; the readers
+             * decode from the first chunk, so the probe must size it) */
+            if (data_size < 0) data_size = (long)size;
             fseek(f, (long)(size + (size & 1)), SEEK_CUR);  /* incl. RIFF pad */
         } else {
             fseek(f, (long)(size + (size & 1)), SEEK_CUR);
@@ -68,6 +103,11 @@ int asp_wav_probe(const char *path, asp_wav_info *info) {
     }
     fclose(f);
     if (!have_fmt || data_size < 0 || balign == 0) return -4;
+    /* fmt consistency (io/wav.py parity): balign must equal nch*bits/8 */
+    if (nch == 0 || balign != nch * (bits / 8)) return -4;
+    /* only PCM (1) and IEEE float (3) exist in this decoder; a-law/
+     * mu-law/ADPCM etc. must error, never be decoded as PCM */
+    if (tag != 1 && tag != 3) return -7;
     info->sample_rate = rate;
     info->num_channels = nch;
     info->num_frames = data_size / balign;
@@ -82,6 +122,7 @@ long asp_wav_read(const char *path, float *out, long max_frames) {
     asp_wav_info info;
     int rc = asp_wav_probe(path, &info);
     if (rc) return rc;
+    if (!fmt_supported(&info)) return -7;  /* never decode to silence */
     long nf = info.num_frames < max_frames ? info.num_frames : max_frames;
     int nch = info.num_channels;
     int bps = info.bits / 8;
@@ -100,34 +141,16 @@ long asp_wav_read(const char *path, float *out, long max_frames) {
     fseek(f, data_pos, SEEK_SET);
     long chunk = 65536;
     uint8_t *buf = (uint8_t *)malloc((size_t)(chunk * nch * bps));
+    if (!buf) { fclose(f); return -1; }
     long done = 0;
     while (done < nf) {
         long want = nf - done < chunk ? nf - done : chunk;
         size_t got = fread(buf, (size_t)(nch * bps), (size_t)want, f);
         if (got == 0) break;
-        for (long i = 0; i < (long)got; i++) {
-            for (int c = 0; c < nch; c++) {
-                const uint8_t *p = buf + (size_t)(i * nch + c) * bps;
-                float v;
-                if (info.float_fmt && info.bits == 32) {
-                    float fv; memcpy(&fv, p, 4); v = fv;
-                } else if (info.bits == 8) {
-                    v = ((float)p[0] - 128.0f) / 128.0f;
-                } else if (info.bits == 16) {
-                    int16_t s = (int16_t)rd_u16(p);
-                    v = (float)s / 32768.0f;
-                } else if (info.bits == 24) {
-                    int32_t s = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8)
-                              | ((uint32_t)p[2] << 16));
-                    if (s >= (1 << 23)) s -= (1 << 24);
-                    v = (float)s / 8388608.0f;
-                } else if (info.bits == 32) {
-                    int32_t s = (int32_t)rd_u32(p);
-                    v = (float)((double)s / 2147483648.0);
-                } else { v = 0.0f; }
-                out[(size_t)c * nf + done + i] = v;
-            }
-        }
+        for (long i = 0; i < (long)got; i++)
+            for (int c = 0; c < nch; c++)
+                out[(size_t)c * nf + done + i] =
+                    decode_sample(&info, buf + (size_t)(i * nch + c) * bps);
         done += (long)got;
     }
     free(buf);
@@ -153,6 +176,7 @@ typedef struct {
 void *asp_wav_open(const char *path) {
     asp_wav_info info;
     if (asp_wav_probe(path, &info)) return NULL;
+    if (!fmt_supported(&info)) return NULL;
     FILE *f = fopen(path, "rb");
     if (!f) return NULL;
     uint8_t ch[8];
@@ -190,34 +214,16 @@ long asp_wav_read_block(void *h, float *out, long frames) {
     if (r->buf_frames < frames) {
         free(r->buf);
         r->buf = (uint8_t *)malloc((size_t)(frames * nch * bps));
+        if (!r->buf) { r->buf_frames = 0; return -1; }
         r->buf_frames = frames;
     }
     long want = r->remaining < frames ? r->remaining : frames;
     if (want <= 0) return 0;
     size_t got = fread(r->buf, (size_t)(nch * bps), (size_t)want, r->f);
-    for (long i = 0; i < (long)got; i++) {
-        for (int c = 0; c < nch; c++) {
-            const uint8_t *p = r->buf + (size_t)(i * nch + c) * bps;
-            float v;
-            if (info->float_fmt && info->bits == 32) {
-                float fv; memcpy(&fv, p, 4); v = fv;
-            } else if (info->bits == 8) {
-                v = ((float)p[0] - 128.0f) / 128.0f;
-            } else if (info->bits == 16) {
-                int16_t s = (int16_t)rd_u16(p);
-                v = (float)s / 32768.0f;
-            } else if (info->bits == 24) {
-                int32_t s = (int32_t)((uint32_t)p[0] | ((uint32_t)p[1] << 8)
-                          | ((uint32_t)p[2] << 16));
-                if (s >= (1 << 23)) s -= (1 << 24);
-                v = (float)s / 8388608.0f;
-            } else if (info->bits == 32) {
-                int32_t s = (int32_t)rd_u32(p);
-                v = (float)((double)s / 2147483648.0);
-            } else { v = 0.0f; }
-            out[(size_t)c * frames + i] = v;
-        }
-    }
+    for (long i = 0; i < (long)got; i++)
+        for (int c = 0; c < nch; c++)
+            out[(size_t)c * frames + i] =
+                decode_sample(info, r->buf + (size_t)(i * nch + c) * bps);
     r->remaining -= (long)got;
     return (long)got;
 }
@@ -233,14 +239,23 @@ void asp_wav_reader_close(void *h) {
 /* Encode planar float32 -> WAV (bits: 16/24/32 PCM, or float_fmt). */
 int asp_wav_write(const char *path, const float *x, int nch, long nframes,
                   int rate, int bits, int float_fmt) {
+    /* the native encoder is float32-planar in, so IEEE-float output is
+     * 32-bit only (a silent f64->f32 downgrade would betray callers
+     * relying on round-trip precision — io/wav.py writes real float64;
+     * any other bits + float_fmt means "float32", matching io/wav.py) */
+    if (float_fmt && bits == 64) return -9;
     if (!float_fmt && bits != 8 && bits != 16 && bits != 24 && bits != 32) return -6;
-    FILE *f = fopen(path, "wb");
-    if (!f) return -1;
     int bps = float_fmt ? 4 : bits / 8;
     if (float_fmt) bits = 32;
     long balign = nch * bps;
     long body = nframes * balign;
     long pad = body & 1;  /* RIFF chunks are word-aligned */
+    /* RIFF sizes are uint32; a >4 GiB body would silently wrap the
+     * header fields (every reader then sees a wrong frame count) */
+    if (body < 0 || (unsigned long long)(36 + body + pad) > 0xFFFFFFFFull)
+        return -8;
+    FILE *f = fopen(path, "wb");
+    if (!f) return -1;
     uint8_t hdr[44];
     memcpy(hdr, "RIFF", 4);
     uint32_t riff = (uint32_t)(36 + body + pad);
@@ -263,6 +278,7 @@ int asp_wav_write(const char *path, const float *x, int nch, long nframes,
     memcpy(hdr + 40, &body32, 4);
     fwrite(hdr, 1, 44, f);
     uint8_t *buf = (uint8_t *)malloc((size_t)balign);
+    if (!buf) { fclose(f); return -1; }
     for (long i = 0; i < nframes; i++) {
         for (int c = 0; c < nch; c++) {
             double v = (double)x[(size_t)c * nframes + i];

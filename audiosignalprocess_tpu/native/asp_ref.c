@@ -26,6 +26,8 @@
 /* ------------------------------------------------------------------ */
 
 void asp_window(int kind, int n, int periodic, double *w) {
+    if (n <= 0) return;
+    if (n == 1 && !periodic) { w[0] = 1.0; return; }  /* scipy: sym window of 1 is [1.0] */
     double denom = periodic ? (double)n : (double)(n - 1);
     for (int i = 0; i < n; i++) {
         double t = (double)i;
@@ -349,14 +351,20 @@ void asp_envelope(const double *x, int n, const double *h, int t, double *y) {
 void asp_noise_gate(const double *x, int n, int nfft, int hop,
                     double threshold_db, double reduction_db,
                     int noise_frames, int kind, double *y, int *nout) {
+    /* invalid geometry signals *nout = -1 (mirrors the Python oracle's
+     * ValueError): n < nfft gives nframes <= 0 (a negative malloc size
+     * cast to size_t), noise_frames <= 0 divides the floor by zero */
+    if (n < nfft || hop <= 0 || noise_frames <= 0) { *nout = -1; return; }
     int nframes = 1 + (n - nfft) / hop;
     int half = nfft / 2;
     size_t bins = (size_t)(half + 1);
     if (noise_frames > nframes) noise_frames = nframes;  /* clamp: no OOB */
     double *sr = (double *)malloc(sizeof(double) * (size_t)nframes * bins);
     double *si = (double *)malloc(sizeof(double) * (size_t)nframes * bins);
+    if (!sr || !si) { free(sr); free(si); *nout = -1; return; }
     asp_stft(x, n, nfft, hop, kind, sr, si);
     double *floor_ = (double *)calloc(bins, sizeof(double));
+    if (!floor_) { free(sr); free(si); *nout = -1; return; }
     for (int f = 0; f < noise_frames; f++)
         for (size_t k = 0; k < bins; k++) {
             double re = sr[(size_t)f * bins + k], im = si[(size_t)f * bins + k];

@@ -18,16 +18,23 @@ def _flatten(carry):
     return leaves, treedef
 
 
+def _npz(path: str) -> str:
+    # np.savez appends ".npz" to extension-less paths but np.load opens
+    # the path verbatim; normalize so save_carry("carry.state") and
+    # load_carry("carry.state") always refer to the same file
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_carry(path: str, carry, block_index: int) -> None:
     leaves, _ = _flatten(carry)
     arrs = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
     arrs["block_index"] = np.asarray(block_index, dtype=np.int64)
-    np.savez(path, **arrs)
+    np.savez(_npz(path), **arrs)
 
 
 def load_carry(path: str, carry_template) -> tuple:
     """Returns (carry, block_index); carry matches the template's treedef."""
-    data = np.load(path)
+    data = np.load(_npz(path))
     leaves, treedef = _flatten(carry_template)
     restored = [
         jnp.asarray(data[f"leaf_{i}"], dtype=leaves[i].dtype)

@@ -132,3 +132,25 @@ def test_noise_gate_short_signal_clamps(rng):
     out = native.noise_gate(x, noise_frames=8)
     ref = oracle.noise_gate(x, noise_frames=4)  # clamped equivalent
     np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_one_point_window_and_single_tap_design():
+    """A 1-point symmetric window is [1.0] (scipy convention; the 0/0
+    midpoint), so design_fir(numtaps=1) is the identity tap — both the
+    Python oracle and the C oracle returned NaN before this was pinned."""
+    np.testing.assert_array_equal(oracle.window("hann", 1, periodic=False),
+                                  np.ones(1))
+    np.testing.assert_array_equal(native.window("hann", 1, periodic=False),
+                                  np.ones(1))
+    np.testing.assert_allclose(oracle.design_fir(1, 0.5), [1.0], atol=1e-12)
+    np.testing.assert_allclose(native.design_fir(1, 0.5), [1.0], atol=1e-12)
+
+
+def test_noise_gate_invalid_geometry_raises(rng):
+    """n < nfft and noise_frames <= 0 raise from the native binding
+    (the C core signals *nout = -1 instead of UB)."""
+    with pytest.raises(ValueError, match="shorter than one frame"):
+        native.noise_gate(np.zeros(500), 1024, 256)
+    with pytest.raises(ValueError, match="noise_frames"):
+        native.noise_gate(0.01 * rng.standard_normal(5000), 1024, 256,
+                          noise_frames=0)

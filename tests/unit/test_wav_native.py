@@ -83,3 +83,92 @@ class TestRingBuffer:
         assert got == 10
         np.testing.assert_array_equal(out[0, :10], 1.0)
         np.testing.assert_array_equal(out[0, 10:], 0.0)
+
+
+def test_float64_decode_matches_python(rng, tmp_path):
+    """The native reader decodes IEEE float64 WAVs (io/wav.py writes
+    them); the pre-fix behavior was silent all-zeros output."""
+    x = np.clip(0.5 * rng.standard_normal((2, 500)), -0.99, 0.99)
+    path = str(tmp_path / "f64.wav")
+    pywav.write_wav(path, x, 48000, bits=64, float_fmt=True)
+    a, _ = pywav.read_wav(path, dtype=np.float32)
+    b, _ = wav_native.read_wav(path)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(b).max() > 0.1  # not the old silent-zeros failure
+
+
+def test_float64_native_write_raises(tmp_path):
+    """The native encoder is float32-planar in; a float64 request must
+    error (pointing at io.wav), never silently downgrade the format."""
+    with pytest.raises(ValueError, match="float64"):
+        wav_native.write_wav(str(tmp_path / "x.wav"), np.zeros((1, 10)),
+                             48000, bits=64, float_fmt=True)
+
+
+def test_unsupported_format_errors_not_silence(tmp_path):
+    """An a-law (tag=6) WAV must raise from probe-supported readers, not
+    decode to a full-length zero array."""
+    import struct
+
+    body = bytes(100 * 2)  # 100 stereo 8-bit frames of a-law junk
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 6, 2, 8000, 16000, 2, 8)
+    hdr += b"data" + struct.pack("<I", len(body))
+    path = str(tmp_path / "alaw.wav")
+    with open(path, "wb") as f:
+        f.write(hdr + body)
+    with pytest.raises(ValueError, match="unsupported format"):
+        wav_native.read_wav(path)
+    with pytest.raises(ValueError):
+        wav_native.WavReader(path)
+
+
+def test_first_data_chunk_wins(rng, tmp_path):
+    """Two data chunks: both readers must size AND decode the FIRST
+    (io/wav.py convention); the old probe sized the last chunk and then
+    read garbage past the first chunk's payload."""
+    import struct
+
+    x1 = np.clip(0.5 * rng.standard_normal(100), -0.99, 0.99)
+    b1 = np.clip(np.round(x1 * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    b2 = np.zeros(200, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + 8 + len(b1) + len(b2)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    payload = b"data" + struct.pack("<I", len(b1)) + b1
+    payload += b"data" + struct.pack("<I", len(b2)) + b2
+    path = str(tmp_path / "two.wav")
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+    a, _ = pywav.read_wav(path, dtype=np.float32)
+    b, _ = wav_native.read_wav(path)
+    assert a.shape == (1, 100) and b.shape == (1, 100)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_truncated_fmt_chunk_errors(tmp_path):
+    import struct
+
+    hdr = b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", 8) + bytes(8)  # 8-byte fmt: invalid
+    path = str(tmp_path / "shortfmt.wav")
+    with open(path, "wb") as f:
+        f.write(hdr)
+    with pytest.raises(ValueError):
+        wav_native.probe(path)
+    with pytest.raises(ValueError):
+        pywav.read_wav(path)
+
+
+def test_checkpoint_extension_normalized(tmp_path):
+    """save_carry/load_carry agree on the .npz suffix regardless of the
+    path the caller passes (np.savez appends it, np.load does not)."""
+    import jax.numpy as jnp
+
+    from audiosignalprocess_tpu.utils.checkpoint import load_carry, save_carry
+
+    carry = {"a": jnp.arange(4.0), "b": jnp.zeros((2, 3))}
+    p = str(tmp_path / "carry.state")  # no .npz
+    save_carry(p, carry, 7)
+    got, blk = load_carry(p, carry)
+    assert blk == 7
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.arange(4.0))
