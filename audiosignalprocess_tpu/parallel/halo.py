@@ -24,8 +24,11 @@ def halo_left(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarray
     shard: the exchange is single-hop, and a silent jnp slice clamp would
     otherwise fabricate history.
     """
-    check(halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
+    check(0 <= halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
         f"(single-hop halo exchange)")
+    if halo == 0:
+        # x[..., -0:] would slice the WHOLE shard (and ppermute all of it)
+        return x
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(
@@ -44,8 +47,10 @@ def halo_right(x: jnp.ndarray, halo: int, axis_name: str = "time") -> jnp.ndarra
     The last shard receives zeros (stream end).  See halo_left for the
     single-hop halo <= shard-length requirement.
     """
-    check(halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
+    check(0 <= halo <= x.shape[-1], f"halo {halo} exceeds local shard length {x.shape[-1]} "
         f"(single-hop halo exchange)")
+    if halo == 0:
+        return x  # symmetry with halo_left (and skip the empty ppermute)
     n = lax.axis_size(axis_name)
     if n == 1:
         return jnp.concatenate(

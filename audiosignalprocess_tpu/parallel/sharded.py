@@ -100,7 +100,9 @@ def sharded_resample(mesh: Mesh, up: int, down: int, h=None) -> callable:
     hl = history_len(len(h), up, down)
 
     def local(x):
-        check(x.shape[-1] % down == 0, "local shard length must divide `down`")
+        check(x.shape[-1] % down == 0,
+              f"local shard length {x.shape[-1]} must be a multiple of "
+              f"down={down} (integral resampled length per shard)")
         _check_halo(hl, x.shape[-1])
         ext = halo_left(x, hl, "time")
         return resample_poly(x, up, down, h=h, zero_phase=False,
@@ -193,9 +195,9 @@ def gate_shard_body(
             axis_name)
         acc = gate_shard_fused(ext, floor_half, valid_f, nfft, hop,
                                threshold_db, reduction_db, window_kind)
-        return _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np,
-                                    tail_np, const, nfft, hop, dtype,
-                                    axis_name)
+        return _spill_and_norm(acc, idx, l, d,
+                               nfft + ((n_glob - nfft) // hop) * hop,
+                               head_np, tail_np, const, dtype, axis_name)
     frames = frame_op(ext, nfft, hop)  # (..., l/hop, nfft)
     valid = valid_f[:, None].astype(dtype)
     spec = fft_ops.rfft(frames * w, impl=impl) * valid
@@ -235,23 +237,26 @@ def gate_shard_body(
     for j in range(r):
         acc = acc.at[..., j : j + m, :].add(fr[..., :, j, :])
     acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : l + d]
-    return _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np, tail_np,
-                                const, nfft, hop, dtype, axis_name)
+    return _spill_and_norm(acc, idx, l, d,
+                           nfft + ((n_glob - nfft) // hop) * hop,
+                           head_np, tail_np, const, dtype, axis_name)
 
 
-def _gate_spill_and_norm(acc, idx, l, d, n_glob, head_np, tail_np, const,
-                         nfft, hop, dtype, axis_name):
-    """Shared sharded-gate epilogue: exchange the d-sample OLA spill into
-    the right neighbor's head (SURVEY.md §2 P4), then divide by the
-    whole-file WOLA norm at global positions (head ramp / interior /
-    finite-file tail ramp / 1.0 in the zero pad)."""
-    num_head = send_right_add(acc[..., l : l + d], acc[..., :d], axis_name)
-    num = jnp.concatenate([num_head, acc[..., d:l]], axis=-1)
-    pvec = idx * l + jnp.arange(l, dtype=jnp.int32)
+def _spill_and_norm(acc, idx, l_out, d, out_len, head_np, tail_np, const,
+                    dtype, axis_name):
+    """Shared sharded WOLA epilogue (gate and vocoder): exchange the
+    d-sample OLA spill into the right neighbor's head (SURVEY.md §2 P4),
+    then divide by the whole-file WOLA norm at global positions (head
+    ramp / interior / finite-file tail ramp / 1.0 in the zero pad).
+
+    ``acc`` holds ``l_out + d`` locally-accumulated samples; ``out_len``
+    is the GLOBAL synthesis length (nfft + (F-1)*hop for F frames)."""
+    num_head = send_right_add(acc[..., l_out : l_out + d], acc[..., :d],
+                              axis_name)
+    num = jnp.concatenate([num_head, acc[..., d:l_out]], axis=-1)
+    pvec = idx * l_out + jnp.arange(l_out, dtype=jnp.int32)
     head = jnp.asarray(head_np, dtype)
     tail = jnp.asarray(tail_np, dtype)
-    # istft output length: nfft + (F-1)*hop for F whole frames
-    out_len = nfft + ((n_glob - nfft) // hop) * hop
     hsel = head[jnp.clip(pvec, 0, d - 1)]
     tsel = tail[jnp.clip(pvec - (out_len - d), 0, d - 1)]
     norm = jnp.where(
@@ -403,21 +408,9 @@ def stretch_shard_body(
     for jj in range(r):
         acc = acc.at[..., jj : jj + mo, :].add(fr4[..., :, jj, :])
     acc = acc.reshape(x.shape[:-1] + (rows * hop,))[..., : mo * hop + d]
-    num_head = send_right_add(acc[..., mo * hop :], acc[..., :d], axis_name)
-    num = jnp.concatenate([num_head, acc[..., d : mo * hop]], axis=-1)
     head_np, tail_np, const = _gate_norms(nfft, hop, window_kind)
-    out_len = nfft + (nof - 1) * hop
-    pvec = idx * (mo * hop) + jnp.arange(mo * hop, dtype=jnp.int32)
-    head = jnp.asarray(head_np, dtype)
-    tail = jnp.asarray(tail_np, dtype)
-    hsel = head[jnp.clip(pvec, 0, d - 1)]
-    tsel = tail[jnp.clip(pvec - (out_len - d), 0, d - 1)]
-    norm = jnp.where(
-        pvec < d, hsel,
-        jnp.where(pvec < out_len - d, const,
-                  jnp.where(pvec < out_len, tsel, 1.0)),
-    )
-    return num / norm
+    return _spill_and_norm(acc, idx, mo * hop, d, nfft + (nof - 1) * hop,
+                           head_np, tail_np, const, dtype, axis_name)
 
 
 def sharded_time_stretch(mesh: Mesh, p: int, q: int, nfft: int = 1024,

@@ -527,12 +527,16 @@ class FIRGateStage(Stage):
         check(self.nfft % self.hop == 0, "nfft must be a multiple of hop")
         check(self.nfft > len(self.h) - 1, "nfft must exceed taps-1")
         self.latency = (self.nfft - self.hop) + self.noise_frames * self.hop
-        self._fir = FIRStage(h=self.h, nfft=self.nfft, impl=self.impl)
+        # forward fused: the decomposed sub-stages ARE the execution path
+        # when a sharded chain splits this composite (chain_shard_body),
+        # and must run the same Pallas kernels as the whole-stage paths
+        self._fir = FIRStage(h=self.h, nfft=self.nfft, impl=self.impl,
+                             fused=self.fused)
         self._gate = GateStage(
             nfft=self.nfft, hop=self.hop, threshold_db=self.threshold_db,
             reduction_db=self.reduction_db, noise_frames=self.noise_frames,
             release=self.release, window_kind=self.window_kind,
-            impl=self.impl)
+            impl=self.impl, fused=self.fused)
         self._env = None
         if self.env_h is not None:
             self.env_h = np.asarray(self.env_h, np.float64)

@@ -208,6 +208,24 @@ class TestGuards:
             sharded_noise_gate(mesh)(shard_audio(x, mesh))
 
 
+class TestHaloEdgeCases:
+    def test_zero_halo_is_identity(self, rng):
+        """halo == 0 must return the shard unchanged: x[..., -0:] would
+        slice (and ppermute) the WHOLE shard, doubling the output."""
+        from audiosignalprocess_tpu.parallel.halo import halo_left, halo_right
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(channel=1, time=8)
+        x = rng.standard_normal((2, 8 * 64)).astype(np.float32)
+        for fn in (halo_left, halo_right):
+            body = shard_map(lambda v: fn(v, 0), mesh=mesh,
+                             in_specs=P(None, "time"),
+                             out_specs=P(None, "time"))
+            np.testing.assert_array_equal(np.asarray(body(jnp.asarray(x))), x)
+
+
 class TestFusedSharded:
     def test_overlap_save_fused_per_shard(self, rng):
         """Fused Pallas kernel inside shard_map (halo feeds its history)."""

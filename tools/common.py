@@ -94,7 +94,13 @@ def report(name: str, x, out, dt: float | None, snr: float | None, args) -> None
 
 def timed(fn, x, iters: int = 5):
     """Time fn(x): scalar-checksum host fetches force full execution on
-    remote/relayed backends (block_until_ready alone may not await)."""
+    remote/relayed backends (block_until_ready alone may not await).
+
+    INTENTIONALLY end-to-end per dispatch (host->device->host including
+    transport): the per-config matrix rows in BASELINE.md record the
+    product path a user experiences; device-loop kernel throughput is
+    bench.py's on-device lax.fori_loop job (CLAUDE.md timing rule), and
+    the matrix's amortized column (--seconds 60) separates the two."""
     import jax
     import jax.numpy as jnp
 

@@ -92,12 +92,17 @@ def run_ring(chain, wav_path, block, channels, nblocks=None, resume=None,
         chain.arm_eof(n_in)
     elif nblocks is None or nblocks > total:
         nblocks = total
+    check(nblocks >= 1, f"input has {n_in} frames < one {block}-frame block "
+          f"— nothing to stream (use --drain to process short files)")
     try:
         ring = RingBuffer(channels, block * max(8, 2 * batch_blocks))
         states = chain.init_state((channels,), block, jnp.float32)
         start_block = 0
         if resume:
             states, start_block = load_carry(resume, states)
+            check(start_block < nblocks,
+                  f"checkpoint is at block {start_block} of {nblocks} — "
+                  f"nothing left to resume")
 
         def producer():
             for _ in range(start_block):  # restart-from-block: skip processed
