@@ -38,7 +38,8 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     vmem_tile_cap,
 )
 from audiosignalprocess_tpu.kernels.gate_kernel import (
-    carry_tail_rows, floor_grid, gate_step_masks, inv_norm_rows, ola_rows,
+    carry_tail_rows, floor_grid, gate_step_masks, gate_step_rows,
+    inv_norm_rows, ola_rows,
 )
 from audiosignalprocess_tpu.ops import fft as fft_ops
 from audiosignalprocess_tpu.ops.overlap_save import overlap_save
@@ -315,40 +316,13 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
     filtered = jnp.concatenate(
         [fil4[:, k, e0r : e0r + br, :] for k in range(nb_os)], axis=1
     )[:, : dr + m * hr]  # filtered rows [pos-d, pos+b)
-    # ---- gate step on the filtered rows (same body as _gate_step_kernel)
-    wv = wgrid[:]
-    frames = jnp.stack(
-        [filtered[:, q * hr : q * hr + nr, :] for q in range(m)], axis=1)
-    frames = frames * wv[None, None] * valid_ref[:][None, :, None, :]
-    gr, gi = fourstep_grid_fwd(frames, None, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:])
-    mag = jnp.sqrt(gr * gr + gi * gi)
-    fs_new = fs_ref[:] + jnp.sum(mag * take_ref[:][None, :, None, :], axis=1)
-    fso_ref[:] = fs_new
-    buf_r = jnp.concatenate([fr_ref[:], gr], axis=1)
-    buf_i = jnp.concatenate([fi_ref[:], gi], axis=1)
-    pr2, pi2 = buf_r[:, :m], buf_i[:, :m]
-    fro_ref[:] = carry_tail_rows(fr_ref[:], gr)
-    fio_ref[:] = carry_tail_rows(fi_ref[:], gi)
-    floor = (fs_new * (1.0 / nf))[:, None]
-    pmag = jnp.sqrt(pr2 * pr2 + pi2 * pi2)
-    mask = jnp.where(pmag > floor * thresh_gain, 1.0, att).astype(pr2.dtype)
-    if release > 0.0:
-        state = rel_ref[:]
-        rows = []
-        for q in range(m):
-            state = jnp.maximum(mask[:, q], release * state)
-            rows.append(state)
-        relo_ref[:] = state
-        mask = jnp.stack(rows, axis=1)
-    else:
-        relo_ref[:] = rel_ref[:]
-    y = fourstep_grid_inv_real(pr2 * mask, pi2 * mask, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:],
-                               tbs[:]) * wv
-    oto_ref[:] = ot_ref[:]
-    emit = ola_rows(y, oto_ref, m, hr, dr, n2)
-    return emit * inorm_ref[:][None]
+    # ---- gate step on the filtered rows (THE shared streaming gate body)
+    return gate_step_rows(
+        m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release, filtered,
+        fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
+        valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs,
+        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref)
 
 
 def envelope_step_rows(e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,

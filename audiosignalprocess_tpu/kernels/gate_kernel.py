@@ -473,14 +473,25 @@ def gate_step_masks(state, m, b_out, d, hop, noise_frames, input_latency,
     return valid2, take2, take_f, inorm
 
 
-def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
-                      tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
-                      rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                      c1, s1, c2, s2, tbc, tbs,
-                      y_ref, fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
+def gate_step_rows(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
+                   src,
+                   fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
+                   valid_ref, take_ref, inorm_ref, wgrid,
+                   c1, s1, c2, s2, tbc, tbs,
+                   fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
+    """THE streaming gate-step body on in-VMEM rows: frame + FFT +
+    noise-floor accumulation + spectral FIFO + mask/release + inverse +
+    OLA, all carries in grid layout.  Returns the WOLA-normalized
+    emitted (tb, m*hr, n2) rows.
+
+    ``src``: (tb, dr + m*hr, n2) gate-domain rows — the previous tail
+    followed by this block's new rows.  Shared single source of truth
+    for the standalone gate step (_gate_step_kernel) and the composite
+    FIR->gate / resample->FIR->gate step kernels
+    (chain_kernel.fir_gate_step_rows), so the oracle-pinned streaming
+    numerics cannot diverge between GateStage and the fused chains."""
     wv = wgrid[:]                                     # (n1, n2) grid window
-    ext = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)  # (tb, dr+br, n2)
-    frames = jnp.stack([ext[:, q * hr: q * hr + nr, :] for q in range(m)],
+    frames = jnp.stack([src[:, q * hr: q * hr + nr, :] for q in range(m)],
                        axis=1)                        # (tb, m, n1, n2)
     # latency-padding frames carry no signal: zero them (pre-FFT, which is
     # equivalent to the jnp path's post-FFT spectrum zeroing — linearity)
@@ -516,7 +527,21 @@ def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
                                c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
     oto_ref[:] = ot_ref[:]                            # seed the OLA carry
     emit = ola_rows(y, oto_ref, m, hr, dr, n2)        # (tb, m*hr, n2)
-    y_ref[:] = emit * inorm_ref[:][None]
+    return emit * inorm_ref[:][None]
+
+
+def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
+                      tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
+                      rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
+                      c1, s1, c2, s2, tbc, tbs,
+                      y_ref, fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
+    ext = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)  # (tb, dr+br, n2)
+    y_ref[:] = gate_step_rows(
+        m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release, ext,
+        fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
+        valid_ref, take_ref, inorm_ref, wgrid,
+        c1, s1, c2, s2, tbc, tbs,
+        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref)
 
 
 def gate_step_fused(

@@ -60,6 +60,19 @@ def _lcm(a: int, b: int) -> int:
     return a * b // gcd(a, b)
 
 
+def _m5_kernel_input(m5_np, r5, w5, w5p, dt):
+    """Phase matrices -> the kernel input: right-pad the window dim to
+    the DMA-aligned w5p and, under the 3-pass bf16 emulation, pre-split
+    into (hi, lo) bf16 planes (shared by the whole-file and step
+    wrappers so the emulation's operand layout has one definition)."""
+    if _use_bf16x3(dt):
+        m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
+                       axis=1)  # (2, r5, w5, n2)
+        m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
+        return jnp.asarray(m5s, jnp.bfloat16)
+    return jnp.asarray(np.pad(m5_np, ((0, 0), (0, w5p - w5), (0, 0))), dt)
+
+
 @functools.lru_cache(maxsize=32)  # keys hold full tap tuples: bound them
 def _row_phase_matrices(h_key, up: int, down: int, n2: int):
     """Per-row supercycle phase matrices: M5 (R5, W5, n2) float64 with
@@ -112,26 +125,9 @@ def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
         fetch((j + 1) % 2, j + 1).start()
 
     fetch(slot, j).wait()
-    v = vwin[slot]  # (tb, k5, w5p) resampler input windows
-    dn = (((2,), (0,)), ((), ()))
-    acc = o_ref.dtype
-    if m5.dtype == jnp.bfloat16:
-        # 3-pass bf16 emulation (see fft_kernel): m5 is (2, r5, w5p, n2)
-        vh = v.astype(jnp.bfloat16)
-        vl = (v - vh.astype(v.dtype)).astype(jnp.bfloat16)
-
-        def mm(q):
-            d = lambda p, t: jax.lax.dot_general(
-                p, t, dimension_numbers=dn, preferred_element_type=acc)
-            return d(vh, m5[0, q]) + d(vh, m5[1, q]) + d(vl, m5[0, q])
-    else:
-        def mm(q):
-            return jax.lax.dot_general(
-                v, m5[q], dimension_numbers=dn, preferred_element_type=acc,
-                precision=jax.lax.Precision.HIGHEST)
-
-    rows4 = jnp.stack([mm(q) for q in range(r5)], axis=2)  # (tb, k5, r5, n2)
-    rows = rows4.reshape(tb, k5 * r5, n2)
+    # (tb, k5, w5p) resampler input windows -> resampled rows (the
+    # shared supercycle phase matmuls, incl. the 3-pass bf16 emulation)
+    rows = _res_rows(vwin[slot], m5, r5, k5, n2, o_ref.dtype)
     # zero the FIR-history prefix rows and the past-the-end rows: the
     # resampler's warm-up/warm-down spill there must read as exact zeros
     # (the unfused chain pads the filtered stream with zeros).  rows[k]
@@ -197,6 +193,10 @@ def resample_fir_gate_fused(
     check(e0 <= nfft - n2, f"{t} taps need e0={e0} > nfft-{n2}: raise nfft")
     b = ((nfft - e0) // n2) * n2
     br, e0r = b // n2, e0 // n2
+    check(br >= 3 or e0r % 8 == 0,
+          f"taps {t} leave only {br} valid overlap-save rows at an "
+          f"8-unaligned row offset — a Mosaic lowering crash class "
+          f"(docs/KERNELS.md constraint 7): raise nfft")
 
     batch = x.shape[:-1]
     n = x.shape[-1]
@@ -282,13 +282,7 @@ def resample_fir_gate_fused(
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
     tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
         h, nfft, n1, n2, dt)
-    if _use_bf16x3(dt):
-        m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
-                       axis=1)  # (2, r5, w5, n2)
-        m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
-        m5 = jnp.asarray(m5s, jnp.bfloat16)
-    else:
-        m5 = jnp.asarray(np.pad(m5_np, ((0, 0), (0, w5p - w5), (0, 0))), dt)
+    m5 = _m5_kernel_input(m5_np, r5, w5, w5p, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
@@ -332,10 +326,12 @@ def resample_fir_gate_fused(
 # ---------------------------------------------------------------------------
 
 
-def _res_rows(v_ref, m5, r5, t5b, n2, acc):
-    """Supercycle phase matmuls: raw input windows -> resampled rows."""
-    tb = v_ref.shape[0]
-    v = v_ref[:]
+def _res_rows(v, m5, r5, t5b, n2, acc):
+    """Supercycle phase matmuls: raw input windows -> resampled rows.
+    ``v``: (tb, t5b, w5p) in-VMEM input-window VALUES.  The single
+    source of truth for the 3-pass bf16 emulation — shared by the
+    whole-file chain kernel and both step kernels."""
+    tb = v.shape[0]
     dn = (((2,), (0,)), ((), ()))
     if m5.dtype == jnp.bfloat16:
         vh = v.astype(jnp.bfloat16)
@@ -368,7 +364,7 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
     rows never touch HBM."""
     from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
 
-    xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
+    xrows = _res_rows(v_ref[:], m5, r5, t5b, n2, y_ref.dtype)
     tailo_ref[:] = carry_tail_rows(tail_ref[:], xrows)
     y_ref[:] = fir_gate_step_rows(
         m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
@@ -400,7 +396,7 @@ def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
         envelope_step_rows, fir_gate_step_rows,
     )
 
-    xrows = _res_rows(v_ref, m5, r5, t5b, n2, y_ref.dtype)
+    xrows = _res_rows(v_ref[:], m5, r5, t5b, n2, y_ref.dtype)
     tailo_ref[:] = carry_tail_rows(tail_ref[:], xrows)
     rows = fir_gate_step_rows(
         m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
@@ -595,12 +591,7 @@ def res_fir_gate_step_fused(
         etail = flat(state["env_tail"])
         check(etail.shape[-2:] == (e0re, n2),
               f"env_tail must be {(e0re, n2)} rows, got {etail.shape[-2:]}")
-    if _use_bf16x3(dt):
-        m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)], axis=1)
-        m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
-        m5 = jnp.asarray(m5s, jnp.bfloat16)
-    else:
-        m5 = jnp.asarray(np.pad(m5_np, ((0, 0), (0, w5p - w5), (0, 0))), dt)
+    m5 = _m5_kernel_input(m5_np, r5, w5, w5p, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

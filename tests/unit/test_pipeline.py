@@ -435,6 +435,31 @@ class TestDrain:
         x[:, 3000:6000] += np.sin(2 * np.pi * 440.0 * np.arange(3000) / 48000.0)
         self._drain_equals_flush(Chain([GateStage(nfft=1024, hop=256)]), x, 2048)
 
+    def test_gate_fused_block_equals_hop(self, rng):
+        """The smallest legal streaming block (block == hop, m=1) through
+        the fused gate step: span_r = hop/128 emitted rows per step (1–2
+        rows) exercises ola_rows' smallest slices.  Hardware-validated
+        2026-08-19 (nfft 1024/hop 256 and 512/128 both compile and run
+        on-chip; docs/KERNELS.md §1.7 note) — this pins the geometry so
+        a kernel change that breaks it fails CI first."""
+        for nfft, hop in ((1024, 256), (512, 128)):
+            chain = Chain([GateStage(nfft=nfft, hop=hop, noise_frames=4,
+                                     fused=True)])
+            chain.build()
+            x = (0.01 * rng.standard_normal((2, 4096))).astype(np.float32)
+            x[:, 1000:3000] += np.sin(
+                2 * np.pi * 440.0 * np.arange(2000) / 48000).astype(np.float32)
+            import jax.numpy as jnp
+
+            st = chain.init_state((2,), hop, jnp.float32)
+            assert isinstance(st[0], dict) and "gfifo_r" in st[0]
+            y = np.asarray(chain.stream(x, hop))
+            full = np.asarray(chain.full(x))
+            lat = chain.latency
+            assert oracle.snr_db(
+                full[..., : y.shape[-1] - lat].astype(np.float64) + 1e-30,
+                y[..., lat:].astype(np.float64) + 1e-30) >= 100.0
+
     def test_composite_block_quantum_error_names_input_block(self, rng):
         """A misaligned composite block must be reported in the INPUT
         domain (the user's block), not the resampled one."""
