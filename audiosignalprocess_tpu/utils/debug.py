@@ -42,9 +42,17 @@ def nan_checks():
 @contextlib.contextmanager
 def interpret_kernels():
     """Force every framework Pallas kernel through the interpreter (plain
-    XLA ops) for debugging — works on any backend."""
+    XLA ops) for debugging — works on any backend.
+
+    The flag is read at TRACE time, so functions already jit-compiled
+    keep their cached compiled kernels; the jit caches are cleared on
+    entry and exit so everything re-traces under (and after) the
+    interpreter instead of silently running the stale compiled path."""
+    import jax
+
     old = os.environ.get("ASP_INTERPRET_PALLAS")
     os.environ["ASP_INTERPRET_PALLAS"] = "1"
+    jax.clear_caches()
     try:
         yield
     finally:
@@ -52,6 +60,7 @@ def interpret_kernels():
             os.environ.pop("ASP_INTERPRET_PALLAS", None)
         else:
             os.environ["ASP_INTERPRET_PALLAS"] = old
+        jax.clear_caches()
 
 
 def assert_snr(ref, test, min_db: float = 60.0, what: str = "output") -> float:

@@ -22,6 +22,11 @@ def snr_db(ref, test) -> float:
     p_err = float(np.sum(err * err))
     if p_err == 0.0:
         return math.inf
+    if p_sig == 0.0:
+        # all-zero reference with nonzero error: any leakage is infinitely
+        # worse than the (silent) signal — report -inf, don't raise a
+        # math-domain error out of an assertion helper
+        return -math.inf
     return 10.0 * math.log10(p_sig / p_err)
 
 

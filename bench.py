@@ -125,14 +125,19 @@ def bench_fir_stft_chain(
 
         def chain(v):
             return chain_obj.stream(v, block)
-    elif fused:  # two fused Pallas kernels
+    elif fused is True:  # two fused Pallas kernels
         def chain(v):
             y = overlap_save_fused(v, h, 1024)
             return noise_gate_fused(y, 1024, 256, noise_frames=8)
-    else:
+    elif fused is False:  # XLA baseline
         def chain(v):
             y = overlap_save(v, h, 1024)
             return noise_gate(y, 1024, 256, noise_frames=8)
+    else:
+        # a typo'd mode must never silently benchmark some other path
+        check(False, f"unknown bench mode {fused!r}: chain, res_chain, "
+              f"res_two, stream, stream1, stream_jnp, res_step, "
+              f"res_env_step, True, False")
 
     @jax.jit
     def timed_loop(x):
@@ -163,7 +168,9 @@ def bench_fir_stft_chain(
     check(np.isfinite(checksum), f"non-finite checksum: {checksum}")
 
     total_samples = channels * n
-    return total_samples / dt
+    # fs is the INPUT rate the samples/s figure counts (44.1 kHz for the
+    # res* modes): the real-time-channels baseline must use the same rate
+    return total_samples / dt, fs
 
 
 def main():
@@ -172,7 +179,8 @@ def main():
     # optional mode arg: chain (default/driver metric), res_chain,
     # res_two, True (two kernels), False (XLA)
     mode = sys.argv[1] if len(sys.argv) > 1 else "chain"
-    samples_per_s = bench_fir_stft_chain(fused=mode)
+    mode = {"True": True, "False": False}.get(mode, mode)
+    samples_per_s, in_rate = bench_fir_stft_chain(fused=mode)
     name = "samples_per_s_per_chip_48k_fir_stft_chain"
     if mode != "chain":
         name += f"_{mode}"
@@ -180,7 +188,8 @@ def main():
         "metric": name,
         "value": round(samples_per_s, 1),
         "unit": "samples/s/chip",
-        "vs_baseline": round(samples_per_s / 48000.0, 2),
+        # real-time channels sustained at the mode's INPUT rate
+        "vs_baseline": round(samples_per_s / in_rate, 2),
     }))
 
 

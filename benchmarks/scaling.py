@@ -65,12 +65,18 @@ def bench_mesh(ndev: int, channels: int, per_shard: int, iters: int = 8):
 
         return jnp.sum(jnp.abs(lax.fori_loop(0, iters, body, v)[:, :128]))
 
-    xs = shard_audio(x, mesh)
-    float(loop(xs))
+    # device-resident inputs BEFORE the timed window: the host multiply
+    # and host->device transfer must not be inside it (their cost grows
+    # with n = per_shard*ndev, which would distort the scaling curve);
+    # distinct values per rep still defeat RPC-level result caching
+    xs = [shard_audio(x * (1.0 + 1e-6 * r), mesh) for r in range(3)]
+    for v in xs:
+        v.block_until_ready()
+    float(loop(xs[0]))  # compile + warm
     best = np.inf
     for r in range(2):
         t0 = time.perf_counter()
-        float(loop(shard_audio(x * (1.0 + 1e-6 * (r + 1)), mesh)))
+        float(loop(xs[r + 1]))
         best = min(best, (time.perf_counter() - t0) / iters)
     return channels * n / best
 
@@ -97,11 +103,15 @@ def main():
     else:
         sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev_all]
     base = None
+    base_nd = None
     for nd in sizes:  # stream each row (slow relayed compiles)
         sps = bench_mesh(nd, args.channels, args.per_shard, args.iters)
         if base is None:
-            base = sps
-        eff = sps / (base * nd)
+            base, base_nd = sps, nd
+        # efficiency vs linear extrapolation FROM THE FIRST MEASURED SIZE
+        # (per-device base throughput base/base_nd), so --sizes 4,8 still
+        # reports a meaningful 4->8 efficiency instead of 1/nd artifacts
+        eff = sps / ((base / base_nd) * nd)
         r = dict(devices=nd, samples_per_s=round(sps, 1),
                  scaling_eff=round(eff, 3))
         if args.json:
