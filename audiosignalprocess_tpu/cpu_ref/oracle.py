@@ -149,7 +149,7 @@ def fft_splitradix(x: np.ndarray) -> np.ndarray:
     """Split-radix FFT (L-shaped butterflies), batched on the last axis."""
     x = np.asarray(x, dtype=np.complex128)
     n = x.shape[-1]
-    check(n & (n - 1) == 0, 'guard failed: n & (n - 1) == 0')
+    check(n & (n - 1) == 0, "power-of-two length required")
     return _fft_splitradix_rec(x)
 
 
@@ -163,7 +163,7 @@ def rfft(x: np.ndarray) -> np.ndarray:
     """Real FFT via N/2-point complex FFT + untangle.  Returns N/2+1 bins."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
-    check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two length >= 2 required")
     z = x[..., 0::2] + 1j * x[..., 1::2]  # length n/2 complex
     zf = fft_radix2(z)
     half = n // 2
@@ -262,7 +262,8 @@ def overlap_save(x: np.ndarray, h: np.ndarray, nfft: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     h = np.asarray(h, dtype=np.float64)
     t = len(h)
-    check(nfft >= 2 * (t - 1) or nfft > t - 1, "nfft too small for taps")
+    check(nfft > t - 1 and nfft >= 1,
+          f"nfft={nfft} too small for {t} taps (need nfft > taps-1)")
     b = nfft - (t - 1)
     n = len(x)
     nblocks = -(-n // b)  # ceil

@@ -19,10 +19,11 @@ packing).  Three implementations behind one API:
 - ``impl="auto"``       — resolve per backend and transform at trace time:
   on TPU, complex fft/ifft route to the Stockham butterfly kernel
   (``pallas_sk``, the measured winner at every size) and rfft/irfft to
-  ``matmul`` (on the current compute-throttled chip the MXU four-step
-  wins; the single-pass real kernel's halved HBM traffic pays off on
-  full-bandwidth parts — see docs/PERF.md "real-FFT kernels"); f64 and
-  non-TPU backends resolve to ``matmul``.
+  ``pallas_sk_split`` (XLA pack/untangle around the complex Stockham
+  kernel — the round-3 measured winner at exact-f32 SNR; the fused
+  single-pass real kernels remain the full-bandwidth design point — see
+  docs/PERF.md "real-FFT kernels"); f64 and non-TPU backends resolve to
+  ``matmul``.
 
 Forward is unnormalized, inverse scales 1/N (C convention, oracle-pinned).
 All functions are batched over leading axes; the transform is on the last
@@ -62,10 +63,15 @@ def _resolve_impl(impl: str, kind: str, dtype) -> str:
         return impl
     if dtype in (jnp.float64, np.float64, jnp.complex128, np.complex128):
         return "matmul"
-    if jax.default_backend() == "tpu" and not os.environ.get(
-            "ASP_INTERPRET_PALLAS"):
+    if jax.default_backend() == "tpu" and not _interpret_flag():
         return "pallas_sk" if kind == "fft" else "pallas_sk_split"
     return "matmul"
+
+
+def _interpret_flag() -> bool:
+    # must agree with kernels/fft_kernel._interpret: the flag is the
+    # STRING "1", so ASP_INTERPRET_PALLAS=0 keeps the compiled perf path
+    return os.environ.get("ASP_INTERPRET_PALLAS") == "1"
 
 # ---------------------------------------------------------------------------
 # Design-time tables (float64 numpy, embedded as constants)
@@ -109,7 +115,10 @@ def _split_n(n: int) -> tuple[int, int]:
 
 
 def _as_complex_dtype(dtype):
-    return jnp.complex128 if dtype in (jnp.float64, np.float64) else jnp.complex64
+    """Complex dtype matching the precision of ``dtype`` (idempotent)."""
+    if dtype in (jnp.float64, np.float64, jnp.complex128, np.complex128):
+        return jnp.complex128
+    return jnp.complex64
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +310,7 @@ def ifft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if impl == "xla":
         return jnp.fft.ifft(x)
     n = x.shape[-1]
-    check(n & (n - 1) == 0, 'guard failed: n & (n - 1) == 0')
+    check(n & (n - 1) == 0, "power-of-two length required")
     return _IMPLS[impl](x, 1.0) / n
 
 
@@ -311,13 +320,16 @@ def rfft(x: jnp.ndarray, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     Structural match of the classic C real-packing (SURVEY.md §2 row 5).
     """
     x = jnp.asarray(x)
+    # the even/odd packing below assumes a REAL signal; complex input
+    # would silently compute garbage on every non-xla impl
+    check(not jnp.issubdtype(x.dtype, jnp.complexfloating),
+          "rfft requires a real-valued input (use fft for complex signals)")
     impl = _resolve_impl(impl, "rfft", x.dtype)
     if impl == "xla":
         return jnp.fft.rfft(x)
     n = x.shape[-1]
-    check(n & (n - 1) == 0 and n >= 2, 'guard failed: n & (n - 1) == 0 and n >= 2')
-    if impl == "pallas_sk" and n >= 4 and not jnp.issubdtype(
-            x.dtype, jnp.complexfloating):
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two length >= 2 required")
+    if impl == "pallas_sk" and n >= 4:
         # dedicated real-FFT kernel: pack + untangle fused in-kernel
         # (one HBM read + one write; kernels/fft_kernel.py)
         from audiosignalprocess_tpu.kernels import fft_kernel
@@ -348,7 +360,10 @@ def irfft(spec: jnp.ndarray, n: int, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if impl == "xla":
         return jnp.fft.irfft(spec, n)
     half = n // 2
-    rdtype = jnp.float64 if spec.dtype == jnp.complex128 else jnp.float32
+    # real output precision matches the spectrum's (spec may arrive REAL,
+    # e.g. a magnitude spectrum, so match f64 for both c128 and f64)
+    rdtype = (jnp.float64 if spec.dtype in (jnp.complex128, jnp.float64)
+              else jnp.float32)
     if impl == "pallas_sk" and n >= 4:
         # dedicated inverse real-FFT kernel (untangle + interleave fused)
         from audiosignalprocess_tpu.kernels import fft_kernel
@@ -360,11 +375,14 @@ def irfft(spec: jnp.ndarray, n: int, impl: str = DEFAULT_IMPL) -> jnp.ndarray:
     if half == 1:
         a, b = jnp.real(spec[..., 0]), jnp.real(spec[..., 1])
         return (jnp.stack([a + b, a - b], axis=-1) * 0.5).astype(rdtype)
-    zk = spec[..., : half + 1]
+    zk = spec[..., : half + 1].astype(_as_complex_dtype(spec.dtype))
     zkc = jnp.conj(zk[..., ::-1])
     xe = 0.5 * (zk + zkc)
+    # cast the twiddles to the COMPLEX dtype: spec may arrive real (a
+    # magnitude spectrum), and a real-dtype cast would silently discard
+    # the twiddles' imaginary part
     wback = np.exp(2j * np.pi * np.arange(half + 1) / n)
-    xo = 0.5 * (zk - zkc) * jnp.asarray(wback, spec.dtype)
+    xo = 0.5 * (zk - zkc) * jnp.asarray(wback, zk.dtype)
     z = (xe + 1j * xo)[..., :half]
     zt = _IMPLS[impl](z, 1.0) / half
     out = jnp.stack([jnp.real(zt), jnp.imag(zt)], axis=-1)

@@ -33,16 +33,37 @@ def initialize(
     if num_processes is not None and num_processes <= 1:
         log.info("single process; skipping jax.distributed")
         return
-    if coordinator_address is None and num_processes is None and (
-        "COORDINATOR_ADDRESS" not in os.environ
-    ):
-        log.info("no coordinator configured; assuming single host")
+    if coordinator_address is None and num_processes is None:
+        # TPU-pod auto-detection: fall through to jax.distributed's
+        # cluster detection only on a genuinely MULTI-worker environment
+        # (the docstring's "all arguments may be None" path) — an
+        # explicit coordinator env, or TPU_WORKER_HOSTNAMES naming more
+        # than one host (single-host TPU VMs and the axon plugin set it
+        # with one entry).  Checked via env vars, NOT
+        # jax.default_backend(), which would initialize the backend
+        # before the distributed runtime.
+        explicit = any(m in os.environ for m in (
+            "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS"))
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi = len([h for h in hosts.split(",") if h.strip()]) > 1
+        if not (explicit or multi):
+            log.info("no coordinator configured; assuming single host")
+            return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except ValueError as e:
+        # auto-detection found no usable cluster (e.g. a plugin set pod
+        # markers on a single host): run single-host rather than die
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit request: surface the real error
+        log.warning("jax.distributed auto-detect failed (%s); "
+                    "assuming single host", e)
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
     log.info(
         "distributed init: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

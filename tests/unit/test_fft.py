@@ -164,3 +164,31 @@ class TestSplitRealRoute:
         back = np.asarray(jax.jit(lambda v: fft_ops.irfft(
             v, n, impl="pallas_sk_split"))(jnp.asarray(spec)))
         assert oracle.snr_db(x.astype(np.float64), back) >= 100.0
+
+
+def test_irfft_real_spectrum_input():
+    """A REAL-dtype spectrum (e.g. a magnitude spectrum) through irfft:
+    the back-twiddles must stay complex.  Pre-fix, casting them to the
+    spectrum's (real) dtype silently discarded their imaginary part on
+    every non-xla impl (max abs error 0.5)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(64)
+    mag = np.abs(oracle.rfft(x))
+    ref = np.fft.irfft(mag, 64)
+    for impl in ("matmul", "radix2"):
+        out = np.asarray(fft_ops.irfft(jnp.asarray(mag, jnp.float32), 64,
+                                       impl=impl))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    out64 = np.asarray(fft_ops.irfft(jnp.asarray(mag), 64, impl="matmul"))
+    assert out64.dtype == np.float64  # f64 real spec keeps f64 output
+    np.testing.assert_allclose(out64, ref, atol=1e-12)
+
+
+def test_rfft_complex_input_raises():
+    """rfft's even/odd packing assumes a real signal; complex input must
+    raise on EVERY impl (xla already did; matmul silently computed
+    garbage pre-fix)."""
+    z = jnp.ones(16, jnp.complex64)
+    for impl in ("matmul", "xla", "radix2", "auto"):
+        with pytest.raises(ValueError, match="real-valued"):
+            fft_ops.rfft(z, impl=impl)
