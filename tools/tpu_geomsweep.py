@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""On-hardware GEOMETRY sweep: the fused kernels COMPILED for the TPU
+across a matrix of (nfft, hop, taps, block) shapes, each vs the float64
+oracle (>= 60 dB, BASELINE.json:5).
+
+tpu_selfcheck.py validates every kernel at ONE geometry; Mosaic-compiled
+behavior is geometry-dependent (docs/KERNELS.md §1 constraint classes:
+8-unaligned sublane slices, DMA row alignment, VMEM ceilings), so this
+tool walks the kernels across the shapes the pipeline can reach —
+including the repaired 8-unaligned overlap-save emissions and the
+smallest streaming blocks (block == hop).  Each row prints as one JSON
+line as it completes (first compiles are slow through the relay; a
+buffered report would lose everything on timeout).
+
+Run: python tools/tpu_geomsweep.py [--quick]
+Exit nonzero if any geometry fails its bound or crashes.
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
+
+import argparse
+import json
+import traceback
+
+import numpy as np
+
+
+def run_case(tag, fn, results):
+    try:
+        snr = fn()
+        rec = {"case": tag, "snr_db": round(float(snr), 1),
+               "pass": bool(snr >= 60.0)}
+    except Exception as e:  # a crash IS a finding — report and continue
+        rec = {"case": tag, "error": f"{type(e).__name__}: {e}"[:300],
+               "pass": False}
+        traceback.print_exc(file=sys.stderr)
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="smallest representative subset")
+    args = p.parse_args()
+
+    import jax
+
+    from audiosignalprocess_tpu.cpu_ref import oracle
+    from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
+    from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
+    from audiosignalprocess_tpu.pipeline import Chain, GateStage
+
+    rng = np.random.default_rng(5)
+    results = []
+    print(json.dumps({"backend": jax.default_backend()}), flush=True)
+
+    # --- overlap-save: repaired 8-unaligned emission geometries (br=1/2
+    # at padr 1/2/3), large taps, large nfft
+    os_cases = [(64, 256), (193, 512), (385, 512), (897, 1024)]
+    if not args.quick:
+        os_cases += [(512, 2048), (4096, 16384)]
+    for taps, nfft in os_cases:
+        def case(taps=taps, nfft=nfft):
+            x = rng.standard_normal((2, 4 * nfft)).astype(np.float32)
+            # random taps: parity is the point, not filter shape
+            h = 0.1 * rng.standard_normal(taps)
+            ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h)
+                            for i in range(2)])
+            out = np.asarray(jax.jit(
+                lambda v: overlap_save_fused(v, h, nfft))(x))
+            return oracle.snr_db(ref, out)
+        run_case(f"os taps={taps} nfft={nfft}", case, results)
+
+    # --- whole-file fused gate across (nfft, hop)
+    gate_cases = [(256, 128), (512, 128), (1024, 256)]
+    if not args.quick:
+        gate_cases += [(1024, 512), (2048, 512)]
+    for nfft, hop in gate_cases:
+        def case(nfft=nfft, hop=hop):
+            n = nfft + 40 * hop
+            x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+            x[:, n // 4: n // 2] += np.sin(
+                2 * np.pi * 0.02 * np.arange(n // 2 - n // 4)
+            ).astype(np.float32)
+            ref = oracle.noise_gate(x.astype(np.float64), nfft, hop,
+                                    noise_frames=4)
+            out = np.asarray(jax.jit(lambda v: noise_gate_fused(
+                v, nfft, hop, noise_frames=4))(x))
+            m = min(ref.shape[-1], out.shape[-1])
+            return oracle.snr_db(ref[..., :m], out[..., :m])
+        run_case(f"gate nfft={nfft} hop={hop}", case, results)
+
+    # --- streaming fused gate step at the smallest legal block (m=1)
+    # and a mid block, vs the whole-file fused gate
+    step_cases = [(1024, 256, 256), (1024, 256, 1024), (512, 128, 128)]
+    for nfft, hop, block in step_cases:
+        def case(nfft=nfft, hop=hop, block=block):
+            chain = Chain([GateStage(nfft=nfft, hop=hop, noise_frames=4,
+                                     fused=True)])
+            chain.build()
+            n = 16 * 1024
+            x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+            x[:, 4000:9000] += np.sin(
+                2 * np.pi * 440 * np.arange(5000) / 48000).astype(np.float32)
+            y = np.asarray(jax.jit(
+                lambda v: chain.stream(v, block))(x))
+            full = np.asarray(jax.jit(chain.full)(x))
+            lat = chain.latency
+            return oracle.snr_db(
+                full[..., : y.shape[-1] - lat].astype(np.float64) + 1e-30,
+                y[..., lat:].astype(np.float64) + 1e-30)
+        run_case(f"gate_step nfft={nfft} hop={hop} block={block}", case,
+                 results)
+
+    ok = all(r.get("pass") for r in results)
+    print(json.dumps({"cases": len(results), "all_pass": ok}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
