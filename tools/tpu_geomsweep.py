@@ -117,6 +117,61 @@ def main():
         run_case(f"gate_step nfft={nfft} hop={hop} block={block}", case,
                  results)
 
+    # --- polyphase resampler across ratios (incl. non-coprime and ragged n)
+    from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
+
+    res_cases = [(160, 147), (3, 16)]
+    if not args.quick:
+        res_cases += [(17, 6)]
+    for up, down in res_cases:
+        def case(up=up, down=down):
+            n = 40 * down + down // 2  # ragged final polyphase cycle
+            x = rng.standard_normal((2, n)).astype(np.float32)
+            ref = np.stack([oracle.resample_poly(
+                x[i].astype(np.float64), up, down, zero_phase=False)
+                for i in range(2)])
+            out = np.asarray(jax.jit(lambda v: resample_mac(
+                v, up, down, zero_phase=False))(x))
+            return oracle.snr_db(ref, out)
+        run_case(f"resample {up}/{down}", case, results)
+
+    # --- the flagship composite step (resample+FIR+gate, ONE kernel per
+    # block) at a second geometry beside selfcheck's default: its bf16x3
+    # margin is the thinnest in the framework (docs/ROADMAP.md) and must
+    # be tracked where it moves with shape
+    from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+    comp_cases = [(1024, 256, 8 * 588), (512, 128, 4 * 588)]
+    for nfft, hop, block in comp_cases:
+        def case(nfft=nfft, hop=hop, block=block):
+            h = oracle.design_fir(64, 0.3)
+            chain = Chain([ResFIRGateStage(
+                up=160, down=147, h=h, nfft=nfft, hop=hop, noise_frames=4)])
+            chain.build()
+            n = (147 * 640 // block) * block
+            x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+            x[:, n // 4: n // 2] += np.sin(
+                2 * np.pi * 440 * np.arange(n // 2 - n // 4) / 44100
+            ).astype(np.float32)
+            st = chain.init_state((2,), block, np.float32)
+            fused_step = isinstance(st[0], dict) and "res_hist" in st[0]
+            y = np.asarray(jax.jit(lambda v: chain.stream(v, block))(x))
+            ref = np.stack([oracle.noise_gate(
+                oracle.fir_direct(
+                    oracle.resample_poly(x[i].astype(np.float64), 160, 147,
+                                         zero_phase=False), h),
+                nfft, hop, noise_frames=4) for i in range(2)])
+            lat = chain.latency
+            m = min(ref.shape[-1] - 0, y.shape[-1] - lat)
+            snr = oracle.snr_db(ref[..., :m] + 1e-30,
+                                y[..., lat:lat + m].astype(np.float64) + 1e-30)
+            if not fused_step:
+                print(json.dumps({"note": f"composite {nfft}/{hop} fell "
+                                  "back to the jnp step"}), flush=True)
+            return snr
+        run_case(f"res_fir_gate_step nfft={nfft} hop={hop} block={block}",
+                 case, results)
+
     ok = all(r.get("pass") for r in results)
     print(json.dumps({"cases": len(results), "all_pass": ok}), flush=True)
     sys.exit(0 if ok else 1)
