@@ -127,6 +127,31 @@ class TestShardedChain:
         out = np.asarray(sharded_chain(mesh, comp)(shard_audio(x, mesh)))
         np.testing.assert_allclose(out, ref, rtol=1e-7, atol=1e-9)
 
+    def test_composite_sharded_fused_f32(self, rng):
+        """f32 sharded composite: the decomposed sub-stages inherit
+        fused=True (round-3 fix — they silently ran jnp before), so the
+        per-shard FIR and gate run their Pallas kernels.  Matches the
+        whole-file composite to the streaming-reassociation bound."""
+        from audiosignalprocess_tpu.pipeline import ResFIRGateStage
+
+        mesh = make_mesh(channel=2, time=4)
+        n = 147 * 512
+        x = (0.01 * rng.standard_normal((8, n))).astype(np.float32)
+        x[:, n // 4: n // 2] += np.sin(
+            2 * np.pi * 440 * np.arange(n // 2 - n // 4) / 44100
+        ).astype(np.float32)
+        h = oracle.design_fir(64, 0.3)
+        comp = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
+                                      hop=256, noise_frames=4, fused=True)])
+        comp.build()
+        # the forwarding contract itself: decomposed sub-stages are fused
+        assert comp.stages[0]._fg._fir.fused and comp.stages[0]._fg._gate.fused
+        ref = np.asarray(jax.jit(comp.full)(jnp.asarray(x)))
+        out = np.asarray(sharded_chain(mesh, comp)(shard_audio(x, mesh)))
+        m = min(ref.shape[-1], out.shape[-1])
+        assert oracle.snr_db(ref[..., :m].astype(np.float64) + 1e-30,
+                             out[..., :m].astype(np.float64) + 1e-30) >= 80.0
+
     def test_composite_env_stage_matches_components(self, rng):
         """A folded envelope tail shards as the direct-FIR form (|x| halo
         + MAC): the full config-5 composite == its four components."""
