@@ -898,6 +898,107 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 
 
 # ---------------------------------------------------------------------------
+# constant-geometry (Pease / Korn-Lambiotte) kernel: ROLLED stage loop
+# ---------------------------------------------------------------------------
+
+
+def _pease_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
+    """All log2(n) constant-geometry butterfly stages as ONE rolled
+    ``lax.fori_loop`` on a (Lb, n) batch tile (compile-time path).
+
+    Every stage has the IDENTICAL data flow — read the two sublane
+    halves u = A[:n/2], v = A[n/2:], butterfly, write interleaved
+    adjacent pairs (the Pease/Korn-Lambiotte constant-geometry form) —
+    so the stage loop rolls into a single fori_loop body instead of the
+    Stockham kernel's log2(n) UNROLLED bodies with per-stage view
+    shapes: Mosaic traces and compiles ONE stage body (trace size O(1)
+    in log n).  Measured numbers (compile wall time and throughput vs
+    the Stockham kernel on this chip): docs/KERNELS.md "Constant-
+    geometry rolled kernel".
+
+    Stage s twiddle (derived by simulating the permutation flow of the
+    natural-order DIF recurrence through the interleave writes; the
+    derivation script is reproduced in docs/KERNELS.md):
+
+        w_s[k] = exp(sign * 2*pi*i * ((k >> s) << s) / n),  k in [0, n/2)
+
+    computed in-kernel from a sublane iota (floor(k / 2^s) * 2^s — exact
+    in f32 for every n this kernel accepts).  The loop's output is in
+    BIT-REVERSED order; the wrapper undoes it with one XLA gather on the
+    way out (same structure as fft_radix2_lanes).  Constant geometry and
+    self-sorting are mutually exclusive for radix-2 (the riffle write is
+    a bit-ROTATION, q of which compose to the identity, never to the bit
+    REVERSAL), so the gather pass is inherent to the rolled form.
+    """
+    xr = jnp.swapaxes(xr_ref[:], 0, 1)  # (n, Lb): transform on sublanes
+    xi = jnp.swapaxes(xi_ref[:], 0, 1)
+    L = xr.shape[-1]
+    h = n // 2
+    k = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0).astype(xr.dtype)
+    base = sign * 2.0 * np.pi / n
+
+    def body(s, carry):
+        cr, ci = carry
+        ur, ui = cr[:h], ci[:h]
+        vr, vi = cr[h:], ci[h:]
+        step = jnp.exp2(s.astype(cr.dtype))
+        e = jnp.floor(k / step) * step  # (k >> s) << s, exact in f32
+        ang = base * e
+        wc, ws = jnp.cos(ang), jnp.sin(ang)
+        t0r, t0i = ur + vr, ui + vi
+        dr, di = ur - vr, ui - vi
+        t1r = dr * wc - di * ws
+        t1i = dr * ws + di * wc
+        # interleave write out[2k] = t0[k], out[2k+1] = t1[k]: a sublane
+        # stack + merge (never touches the lane axis)
+        cr = jnp.stack([t0r, t1r], axis=1).reshape(n, L)
+        ci = jnp.stack([t0i, t1i], axis=1).reshape(n, L)
+        return cr, ci
+
+    xr, xi = jax.lax.fori_loop(0, n.bit_length() - 1, body, (xr, xi))
+    or_ref[:] = jnp.swapaxes(xr, 0, 1)
+    oi_ref[:] = jnp.swapaxes(xi, 0, 1)
+
+
+def fft_pease_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
+    """Batched FFT via the ROLLED constant-geometry butterfly kernel.
+
+    Same layout contract as fft_stockham_lanes (natural order in and
+    out, batch-in-lanes inside); the kernel's bit-reversed output is
+    restored by one XLA gather on the way out.  This is the
+    compile-time variant (ops.fft impl="pallas_cg"): one stage body
+    compiles instead of log2(n), see _pease_kernel.
+    """
+    check(xr.ndim == 2 and xr.shape == xi.shape,
+          'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
+    b, n = xr.shape
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
+    check_kernel_dtype(xr.dtype)
+    dt = xr.dtype
+    L = 128
+    bp = -(-b // L) * L
+    if bp != b:
+        pad = ((0, bp - b), (0, 0))
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    grid = (bp // L,)
+    bs = pl.BlockSpec((L, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_pease_kernel, n, -1.0 if sign < 0 else 1.0),
+        grid=grid,
+        in_specs=[bs, bs],
+        out_specs=(bs, bs),
+        out_shape=(jax.ShapeDtypeStruct((bp, n), dt),
+                   jax.ShapeDtypeStruct((bp, n), dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xr, xi)
+    # undo the loop's bit-reversed order (involution: take with rev)
+    rev = jnp.asarray(_bitrev(n))
+    return jnp.take(yr[:b], rev, axis=-1), jnp.take(yi[:b], rev, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # real-FFT Stockham kernels: pack + untangle fused IN-kernel
 # ---------------------------------------------------------------------------
 #

@@ -273,6 +273,16 @@ def _fft_pallas_sk(x, sign):
     return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_stockham_lanes)
 
 
+def _fft_pallas_cg(x, sign):
+    # constant-geometry (Pease/Korn-Lambiotte) butterflies: the stage
+    # loop is ROLLED into one fori_loop body (O(1) trace size in log n)
+    # at the cost of one XLA bit-reversal pass; measured A/B vs the
+    # Stockham kernel: docs/KERNELS.md "Constant-geometry rolled kernel"
+    from audiosignalprocess_tpu.kernels import fft_kernel
+
+    return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_pease_lanes)
+
+
 _IMPLS = {
     "radix2": _fft_radix2,
     "splitradix": _fft_splitradix,
@@ -281,6 +291,7 @@ _IMPLS = {
     "pallas_r2": _fft_pallas_r2,  # TPU-compiled butterfly kernel (lanes)
     "pallas_sk": _fft_pallas_sk,  # Stockham butterflies (perf path)
     "pallas_r2_stages": _fft_pallas_r2_stages,  # interpret-only structural
+    "pallas_cg": _fft_pallas_cg,  # rolled constant-geometry (fast compile)
     # real transforms only: XLA pack/untangle around the Stockham kernel
     # (the measured real-transform default on this chip; the FUSED real
     # kernels rfft_stockham/irfft_stockham are impl="pallas_sk")

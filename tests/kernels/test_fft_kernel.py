@@ -161,6 +161,56 @@ class TestRadix2Lanes:
                             got.imag.astype(np.float64)])) >= 100.0
 
 
+class TestPeaseLanes:
+    """Rolled constant-geometry (Pease/Korn-Lambiotte) kernel: one
+    fori_loop stage body + XLA bit-reversal restore — the compile-time
+    variant of the Stockham kernel (kernels/fft_kernel._pease_kernel)."""
+
+    @pytest.mark.parametrize("n", (8, 256, 1024, 4096))
+    def test_forward_inverse(self, rng, n):
+        import jax.numpy as jnp
+
+        xr = rng.standard_normal((5, n)).astype(np.float32)
+        xi = rng.standard_normal((5, n)).astype(np.float32)
+        yr, yi = fft_kernel.fft_pease_lanes(jnp.asarray(xr),
+                                            jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real, got.imag])) >= 100.0
+        zr, zi = fft_kernel.fft_pease_lanes(yr, yi, +1.0)
+        back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert oracle.snr_db(
+            np.concatenate([xr, xi]).astype(np.float64),
+            np.concatenate([back.real, back.imag])) >= 100.0
+
+    def test_matches_stockham_exactly_in_structure(self, rng):
+        # same contract as fft_stockham_lanes: natural order in and out
+        import jax.numpy as jnp
+
+        n = 512
+        xr = rng.standard_normal((3, n)).astype(np.float32)
+        xi = rng.standard_normal((3, n)).astype(np.float32)
+        pr, pi = fft_kernel.fft_pease_lanes(jnp.asarray(xr),
+                                            jnp.asarray(xi), -1.0)
+        sr, si = fft_kernel.fft_stockham_lanes(jnp.asarray(xr),
+                                               jnp.asarray(xi), -1.0)
+        ref = np.concatenate([np.asarray(sr), np.asarray(si)])
+        got = np.concatenate([np.asarray(pr), np.asarray(pi)])
+        assert oracle.snr_db(ref.astype(np.float64),
+                             got.astype(np.float64)) >= 110.0
+
+    def test_impl_registry(self, rng):
+        x = rng.standard_normal((3, 512)) + 1j * rng.standard_normal((3, 512))
+        got = np.asarray(fft_ops.fft(x.astype(np.complex64), impl="pallas_cg"))
+        ref = np.fft.fft(x)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real.astype(np.float64),
+                            got.imag.astype(np.float64)])) >= 100.0
+
+
 class TestRfftStockham:
     """Dedicated real-FFT Stockham kernels: even/odd pack + half-size
     butterflies + untangle in ONE pallas_call (kernels/fft_kernel.py)."""
