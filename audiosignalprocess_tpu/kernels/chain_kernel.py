@@ -404,12 +404,14 @@ def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
 
 
 
-def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt):
+def fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt, family="fft"):
     """(wgrid, tabs): windowed-grid + four-step/taps-spectrum kernel
-    inputs shared by the step wrappers (tap spectrum in grid layout)."""
+    inputs shared by the step wrappers (tap spectrum in grid layout).
+    ``family`` names the grid tables' matmul family for the per-family
+    precision pins (the composite step passes "cfft")."""
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
+    tabs = grid_table_arrays(nfft, dt, (n1, n2), family) + tap_spectrum_grid(
         h, nfft, n1, n2, dt)
     return wgrid, tabs
 

@@ -126,7 +126,52 @@ def _matmul_mode() -> str:
     return m
 
 
-def _use_bf16x3(dt) -> bool:
+# Per-FAMILY precision pins: matmul families whose f32 path stays at
+# Precision.HIGHEST even when the 3-pass bf16 emulation is the global
+# mode.  Rationale: the composite step kernel's bf16x3 margin is the
+# thinnest in the framework (77.6 dB on-chip, round-3 selfcheck), and
+# the roadmap fix is to isolate WHICH matmul family eats it and pin
+# that family selectively rather than paying HIGHEST (6 MXU passes)
+# everywhere.  Families:
+#   res  — polyphase/supercycle phase matrices (res_chain_kernel m5);
+#          contraction dim W5 ≈ 600 for 160/147 × 64 taps, ~5× the FFT
+#          grid's.  Measured on-chip (tools/tpu_pin_ab.py, round 4):
+#          NOT the culprit (+0.4 dB).
+#   fft  — four-step grid n2-side DFT tables (grid_table_arrays c2/s2)
+#          in EVERY fused kernel.  Measured: +14.1 dB on the composite
+#          step (the gate's threshold comparison flips on borderline
+#          bins under bf16x3 spectrum noise, and a flipped frame costs
+#          far more SNR than the noise itself — the effect is strongly
+#          input-dependent: 108 dB on one seed, 77.6 on the selfcheck
+#          data, same code).
+#   cfft — the "fft" tables of the COMPOSITE res->FIR->gate kernels
+#          only (res_chain_kernel).  Pinned BY DEFAULT: the composite
+#          step is where the flip effect was measured at 77.6 dB, and
+#          scoping the pin there leaves every other fused kernel (all
+#          ≥86 dB unpinned) at the cheaper 3-pass emulation.
+# ASP_MATMUL_PIN (comma list; "none" pins nothing, including the cfft
+# default) overrides for isolation A/Bs (tools/tpu_pin_ab.py).  The
+# default and its measured SNR/throughput tradeoff: docs/PERF.md
+# "composite margin".
+_PIN_DEFAULT = frozenset({"cfft"})
+
+
+def _matmul_pin() -> frozenset:
+    p = os.environ.get("ASP_MATMUL_PIN")
+    if p is None:
+        return _PIN_DEFAULT
+    fams = frozenset(f.strip() for f in p.split(",") if f.strip())
+    check(fams <= {"res", "fft", "cfft", "none"},
+          f"ASP_MATMUL_PIN families must be res|fft|cfft|none, got {p!r}")
+    return frozenset() if "none" in fams else fams
+
+
+def _use_bf16x3(dt, family: str | None = None) -> bool:
+    if family is not None:
+        pins = _matmul_pin()
+        # a global "fft" pin covers the composite kernels' grid tables too
+        if family in pins or (family == "cfft" and "fft" in pins):
+            return False
     m = _matmul_mode()
     if m == "bf16x3":
         return jnp.dtype(dt) == jnp.float32
@@ -144,10 +189,11 @@ def split_bf16_np(t: np.ndarray) -> np.ndarray:
     return np.stack([np.asarray(hi), np.asarray(lo)])
 
 
-def _tab(t: np.ndarray, dt):
+def _tab(t: np.ndarray, dt, family: str = "fft"):
     """DFT-table kernel input: f32/f64 array, or the stacked (2, ...) bf16
-    hi/lo split when the 3-pass emulation is active for this dtype."""
-    if _use_bf16x3(dt):
+    hi/lo split when the 3-pass emulation is active for this dtype (and
+    the table's matmul ``family`` is not precision-pinned)."""
+    if _use_bf16x3(dt, family):
         return jnp.asarray(split_bf16_np(t))
     return jnp.asarray(t, dt)
 
@@ -222,11 +268,15 @@ def _grid_tables(n: int, n1: int, n2: int):
 _MAC_MAX_N1 = 32  # unroll bound for the sublane-MAC n1-side DFT
 
 
-def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None):
+def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None,
+                      family: str = "fft"):
     """Positive-direction four-step tables as kernel-input arrays, with
-    c2/s2 hi/lo bf16-split when the 3-pass emulation is active (_tab).
-    Shared by every fused kernel that embeds the grid FFT.  ``split``
-    must match the (n1, n2) the calling kernel uses (default balanced)."""
+    c2/s2 hi/lo bf16-split when the 3-pass emulation is active (_tab)
+    and the caller's matmul ``family`` is not precision-pinned (the
+    composite res->FIR->gate kernels pass family="cfft", pinned by
+    default — see _PIN_DEFAULT).  Shared by every fused kernel that
+    embeds the grid FFT.  ``split`` must match the (n1, n2) the calling
+    kernel uses (default balanced)."""
     n1, n2 = split if split is not None else _split_n(n)
     c1_, s1_, c2_, s2_, tbc_, tbs_ = _grid_tables(n, n1, n2)
     if _use_lane_butterfly():
@@ -239,7 +289,7 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None):
         return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt), ph, ph,
                 jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
     return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt),
-            _tab(c2_, dt), _tab(s2_, dt),
+            _tab(c2_, dt, family), _tab(s2_, dt, family),
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
 
 
@@ -912,18 +962,19 @@ def _pease_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):
     so the stage loop rolls into a single fori_loop body instead of the
     Stockham kernel's log2(n) UNROLLED bodies with per-stage view
     shapes: Mosaic traces and compiles ONE stage body (trace size O(1)
-    in log n).  Measured numbers (compile wall time and throughput vs
-    the Stockham kernel on this chip): docs/KERNELS.md "Constant-
-    geometry rolled kernel".
+    in log n).  On-chip compile-time and throughput A/B vs the Stockham
+    kernel: docs/KERNELS.md "Constant-geometry rolled kernel (Pease)".
 
     Stage s twiddle (derived by simulating the permutation flow of the
-    natural-order DIF recurrence through the interleave writes; the
-    derivation script is reproduced in docs/KERNELS.md):
+    natural-order DIF recurrence through the interleave writes — the
+    closed form was validated against the oracle across all accepted n
+    by the round-trip tests in tests/kernels/test_fft_kernel.py):
 
         w_s[k] = exp(sign * 2*pi*i * ((k >> s) << s) / n),  k in [0, n/2)
 
     computed in-kernel from a sublane iota (floor(k / 2^s) * 2^s — exact
-    in f32 for every n this kernel accepts).  The loop's output is in
+    in f32 while k < 2^24, enforced by the wrapper's n <= 2^24 guard;
+    every audio-scale n is far below it).  The loop's output is in
     BIT-REVERSED order; the wrapper undoes it with one XLA gather on the
     way out (same structure as fft_radix2_lanes).  Constant geometry and
     self-sorting are mutually exclusive for radix-2 (the riffle write is
@@ -973,6 +1024,10 @@ def fft_pease_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
           'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
     b, n = xr.shape
     check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
+    # the in-kernel twiddle exponent (k>>s)<<s is computed as
+    # floor(k/2^s)*2^s on an f32 iota, exact only while k < 2^24
+    check(n <= 1 << 24, "fft_pease_lanes supports n <= 2^24 (f32 iota "
+          "twiddle-exponent exactness bound)")
     check_kernel_dtype(xr.dtype)
     dt = xr.dtype
     L = 128

@@ -65,7 +65,7 @@ def _m5_kernel_input(m5_np, r5, w5, w5p, dt):
     the DMA-aligned w5p and, under the 3-pass bf16 emulation, pre-split
     into (hi, lo) bf16 planes (shared by the whole-file and step
     wrappers so the emulation's operand layout has one definition)."""
-    if _use_bf16x3(dt):
+    if _use_bf16x3(dt, "res"):
         m5s = np.stack([split_bf16_np(m5_np[q]) for q in range(r5)],
                        axis=1)  # (2, r5, w5, n2)
         m5s = np.pad(m5s, ((0, 0), (0, 0), (0, w5p - w5), (0, 0)))
@@ -280,8 +280,10 @@ def resample_fir_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
-        h, nfft, n1, n2, dt)
+    # family "cfft": the composite kernels' grid tables are precision-
+    # pinned by default (measured gate-flip margin, fft_kernel._PIN_DEFAULT)
+    tabs = grid_table_arrays(nfft, dt, (n1, n2), family="cfft") \
+        + tap_spectrum_grid(h, nfft, n1, n2, dt)
     m5 = _m5_kernel_input(m5_np, r5, w5, w5p, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
@@ -579,7 +581,8 @@ def res_fir_gate_step_fused(
         state, m, b_out, d, hop, noise_frames, input_latency, latency,
         head_norm, const_norm, span_r, n2, dt, eof_in=eof_in,
         tail_norm=tail_norm)
-    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
+    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt,
+                                       family="cfft")
     env = env_h is not None
     if env:
         from audiosignalprocess_tpu.kernels.chain_kernel import (

@@ -276,8 +276,9 @@ def _fft_pallas_sk(x, sign):
 def _fft_pallas_cg(x, sign):
     # constant-geometry (Pease/Korn-Lambiotte) butterflies: the stage
     # loop is ROLLED into one fori_loop body (O(1) trace size in log n)
-    # at the cost of one XLA bit-reversal pass; measured A/B vs the
-    # Stockham kernel: docs/KERNELS.md "Constant-geometry rolled kernel"
+    # at the cost of one XLA bit-reversal pass; on-chip compile-time and
+    # throughput A/B vs the Stockham kernel recorded in docs/KERNELS.md
+    # "Constant-geometry rolled kernel (Pease)"
     from audiosignalprocess_tpu.kernels import fft_kernel
 
     return fft_kernel.fft_complex(x, sign, core=fft_kernel.fft_pease_lanes)

@@ -1,0 +1,105 @@
+"""ASP_MATMUL_PIN per-family precision pins (round-4 composite-margin
+isolation, docs/ROADMAP.md "Performance" / docs/PERF.md "composite
+margin").
+
+The 3-pass bf16 emulation (ASP_MATMUL_MODE) is a GLOBAL mode; the pins
+keep a named matmul FAMILY at f32/HIGHEST underneath it so the on-chip
+A/B can isolate which family eats the composite step's SNR margin.
+These tests pin the plumbing: the pin switches the table dtype handed
+to the kernels (which is what the kernel bodies branch on), parity
+holds either way, and bad values are rejected.  Interpret mode
+(conftest) with ASP_MATMUL_MODE=bf16x3 forced so the pin has something
+to override.
+"""
+
+import numpy as np
+import pytest
+
+from audiosignalprocess_tpu.cpu_ref import oracle
+from audiosignalprocess_tpu.kernels import fft_kernel
+from audiosignalprocess_tpu.kernels.res_chain_kernel import _m5_kernel_input
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(17)
+
+
+def test_pin_validation(monkeypatch):
+    monkeypatch.setenv("ASP_MATMUL_PIN", "bogus")
+    with pytest.raises(ValueError, match="ASP_MATMUL_PIN"):
+        fft_kernel._matmul_pin()
+
+
+def test_pin_switches_table_dtype(monkeypatch):
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
+    t = np.linspace(-1, 1, 16).reshape(4, 4)
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "none")
+    assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+    m5 = _m5_kernel_input(np.zeros((2, 4, 4)), 2, 4, 8, np.float32)
+    assert m5.dtype == jnp.bfloat16
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "fft")
+    assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.float32
+    m5 = _m5_kernel_input(np.zeros((2, 4, 4)), 2, 4, 8, np.float32)
+    assert m5.dtype == jnp.bfloat16  # fft pin leaves res family split
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "res")
+    assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+    m5 = _m5_kernel_input(np.zeros((2, 4, 4)), 2, 4, 8, np.float32)
+    assert m5.dtype == jnp.float32
+
+    # "none" beats any other listed family (explicit un-pin)
+    monkeypatch.setenv("ASP_MATMUL_PIN", "res,none")
+    assert fft_kernel._matmul_pin() == frozenset()
+
+
+def test_composite_default_pin(monkeypatch):
+    """The composite kernels' grid tables ("cfft") are pinned by DEFAULT
+    (the measured gate-flip margin), while the shared "fft" family stays
+    on the 3-pass emulation; a global "fft" pin covers "cfft" too; an
+    explicit "none" unpins everything including the default."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
+    t = np.linspace(-1, 1, 16).reshape(4, 4)
+
+    monkeypatch.delenv("ASP_MATMUL_PIN", raising=False)
+    assert fft_kernel._matmul_pin() == frozenset({"cfft"})
+    assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "fft")
+    assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "none")
+    assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("pin", ["none", "res", "fft", "res,fft"])
+def test_composite_parity_under_pins(rng, monkeypatch, pin):
+    """The whole-file fused composite chain stays ≥60 dB vs the f64
+    oracle under every pin setting (the pin changes precision, never
+    structure)."""
+    monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
+    monkeypatch.setenv("ASP_MATMUL_PIN", pin)
+    from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+        resample_fir_gate_fused,
+    )
+
+    h = oracle.design_fir(64, 0.3)
+    x = 0.01 * rng.standard_normal((2, 147 * 80)).astype(np.float32)
+    x[:, 2000:8000] += np.sin(
+        2 * np.pi * 440 * np.arange(6000) / 44100).astype(np.float32)
+    out = np.asarray(resample_fir_gate_fused(x, 160, 147, h, noise_frames=4))
+    ref = np.stack([
+        oracle.noise_gate(oracle.fir_direct(
+            oracle.resample_poly(x[i].astype(np.float64), 160, 147,
+                                 zero_phase=False), h), noise_frames=4)
+        for i in range(2)
+    ])
+    m = min(out.shape[-1], ref.shape[-1])
+    assert oracle.snr_db(ref[:, :m], out[:, :m]) >= 60.0

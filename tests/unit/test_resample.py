@@ -21,7 +21,15 @@ class TestOracleVsScipy:
         """Oracle zero-phase resample == scipy.resample_poly given the same
         prototype filter (scipy's `window=` takes the taps directly)."""
         if up == down:
-            pytest.skip("identity ratio needs no filter")
+            # the ONE expected skip in a green suite: the identity ratio
+            # has no prototype filter to hand scipy (resample_filter(1,1)
+            # is the passthrough), so there is no scipy reference to
+            # compare against.  Identity-ratio BEHAVIOR is still covered:
+            # TestJaxResample::test_vs_oracle runs (1, 1) against the
+            # oracle, which returns the input unchanged.
+            pytest.skip("identity ratio has no prototype filter, so no "
+                        "scipy reference exists (behavior covered by "
+                        "TestJaxResample (1,1) vs the oracle)")
         x = rng.standard_normal(2000)
         h = resample_filter(up, down)
         ref = scipy.signal.resample_poly(x, up, down, window=h / up)

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Cross-round perf/parity regression gate (VERDICT r3 item 5).
+
+Diffs round N's records in docs/records/ against round N-1 (or the most
+recent earlier round that has each record) and prints every:
+  - kernel/geometry/config SNR drop > 5 dB (selfcheck_rNN.json,
+    geomsweep_rNN.jsonl, configs_rNN.json)
+  - bench-mode median throughput below the previous round's recorded
+    [min, max] noise band (bench_rNN.json); when the previous round has
+    no band (single-shot legacy number), falls back to a 10% threshold
+  - roofline gate flip (pass -> fail) or median raw_frac drop > 0.05
+
+Exit 0 = no regressions (findings list empty).  Quote the output in
+docs/PERF.md per round.
+
+Run: python tools/check_regression.py --round 4 [--against 3]
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+RECORDS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "records")
+
+SNR_DROP_DB = 5.0
+FALLBACK_TP_DROP = 0.10
+
+
+def load(name):
+    path = os.path.join(RECORDS, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        if name.endswith(".jsonl"):
+            return [json.loads(ln) for ln in f if ln.strip()]
+        return json.load(f)
+
+
+def prev_round(kind, ext, this_round):
+    """Most recent round < this_round that has the record."""
+    best = None
+    for p in glob.glob(os.path.join(RECORDS, f"{kind}_r*.{ext}")):
+        m = re.search(rf"{kind}_r(\d+)\.{ext}$", p)
+        if m and int(m.group(1)) < this_round:
+            best = max(best or 0, int(m.group(1)))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--against", type=int, default=None,
+                    help="explicit baseline round (default: latest earlier)")
+    args = ap.parse_args()
+    n = args.round
+    findings = []
+    compared = {}
+
+    def base_for(kind, ext="json"):
+        b = args.against if args.against is not None else prev_round(
+            kind, ext, n)
+        return (load(f"{kind}_r{b:02d}.{ext}"), b) if b else (None, None)
+
+    # --- selfcheck: per-kernel SNRs
+    cur = load(f"selfcheck_r{n:02d}.json")
+    prev, b = base_for("selfcheck")
+    if cur and prev:
+        compared["selfcheck"] = f"r{n:02d} vs r{b:02d}"
+        for k, v in prev.items():
+            if not isinstance(v, (int, float)) or k == "backend":
+                continue
+            if k in cur and isinstance(cur[k], (int, float)) \
+                    and cur[k] < v - SNR_DROP_DB:
+                findings.append({"record": "selfcheck", "key": k,
+                                 "prev_db": v, "cur_db": cur[k]})
+
+    # --- geomsweep: per-case SNRs (jsonl)
+    curg = load(f"geomsweep_r{n:02d}.jsonl")
+    bg = args.against if args.against is not None else prev_round(
+        "geomsweep", "jsonl", n)
+    prevg = load(f"geomsweep_r{bg:02d}.jsonl") if bg else None
+    if curg and prevg:
+        compared["geomsweep"] = f"r{n:02d} vs r{bg:02d}"
+        curmap = {r["case"]: r.get("snr_db") for r in curg if "case" in r}
+        for r in prevg:
+            c, v = r.get("case"), r.get("snr_db")
+            if c is None or v is None:
+                continue
+            cv = curmap.get(c)
+            if cv is None:
+                findings.append({"record": "geomsweep", "key": c,
+                                 "prev_db": v, "cur_db": "MISSING"})
+            elif cv < v - SNR_DROP_DB:
+                findings.append({"record": "geomsweep", "key": c,
+                                 "prev_db": v, "cur_db": cv})
+
+    # --- configs: SNR + throughput rows
+    cur = load(f"configs_r{n:02d}.json")
+    prev, b = base_for("configs")
+    if cur and prev:
+        compared["configs"] = f"r{n:02d} vs r{b:02d}"
+        for k, pv in prev.get("configs", {}).items():
+            cv = cur.get("configs", {}).get(k, {})
+            ps, cs = pv.get("snr_db_vs_oracle"), cv.get("snr_db_vs_oracle")
+            if ps is not None and cs is not None and cs < ps - SNR_DROP_DB:
+                findings.append({"record": "configs", "key": k,
+                                 "prev_db": ps, "cur_db": cs})
+
+    # --- bench: median vs previous noise band
+    cur = load(f"bench_r{n:02d}.json")
+    prev, b = base_for("bench")
+    if cur and prev:
+        compared["bench"] = f"r{n:02d} vs r{b:02d}"
+        for mode, pv in prev.get("modes", {}).items():
+            cv = cur.get("modes", {}).get(mode)
+            if not cv:
+                continue
+            med = cv["median"]
+            lo = pv.get("min")
+            if lo is not None and len(pv.get("values", [])) > 1:
+                if med < lo:
+                    findings.append({"record": "bench", "key": mode,
+                                     "prev_band": [pv["min"], pv["max"]],
+                                     "cur_median": med})
+            elif med < pv["median"] * (1 - FALLBACK_TP_DROP):
+                findings.append({"record": "bench", "key": mode,
+                                 "prev_median": pv["median"],
+                                 "cur_median": med,
+                                 "note": "fallback 10% threshold"})
+
+    # --- roofline gate
+    cur = load(f"roofline_r{n:02d}.json")
+    prev, b = base_for("roofline")
+    if cur:
+        gate = cur.get("gate", {})
+        if not gate.get("pass"):
+            findings.append({"record": "roofline", "key": "gate",
+                             "cur": gate, "note": "median below target"})
+        if prev:
+            compared["roofline"] = f"r{n:02d} vs r{b:02d}"
+            pm = prev.get("gate", {}).get("raw_frac_median")
+            cm = gate.get("raw_frac_median")
+            if pm is not None and cm is not None and cm < pm - 0.05:
+                findings.append({"record": "roofline", "key": "raw_frac",
+                                 "prev_median": pm, "cur_median": cm})
+
+    print(json.dumps({"round": n, "compared": compared,
+                      "findings": findings,
+                      "ok": not findings}, indent=1))
+    sys.exit(1 if findings else 0)
+
+
+if __name__ == "__main__":
+    main()

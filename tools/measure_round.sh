@@ -1,49 +1,46 @@
 #!/bin/bash
-# One-shot on-chip measurement sweep for a round (docs/PERF.md +
-# BASELINE.md refresh).  Runs every measurement serially on the single
+# One-shot on-chip measurement sweep for a round: emits the per-round
+# machine-readable records in docs/records/ (selfcheck, geomsweep,
+# roofline/bench/configs via record_round.py) and runs the cross-round
+# regression gate.  Runs every measurement serially on the single
 # relay-attached TPU (two concurrent TPU jobs are untested — CLAUDE.md)
 # and appends one log per step under $OUT (default /tmp/asp_measure).
 #
-#   PYTHONPATH=/root/.axon_site:/root/repo tools/measure_round.sh [OUT]
+#   PYTHONPATH=/root/.axon_site:/root/repo tools/measure_round.sh ROUND [OUT]
 #
-# Steps (each skippable by prior completion — logs are append-only):
-#   1 selfcheck     kernel parity JSON (>=60 dB gate, exit code)
-#   2 bench         headline chain samples/s (driver metric)
-#   3 bench modes   res_two / res_step / res_env_step / stream1
-#   4 roofline      pallas_sk vs xla, batch 8192 and 32768 (80% target)
-#   5 configs       run_config_{1..5} --bench --json (product path)
-#   6 ring A/B      config 5 ring mode, --ring-batch 1 vs 8
+# Steps:
+#   1 selfcheck      kernel parity JSON -> docs/records/selfcheck_rNN.json
+#   2 geomsweep      geometry matrix    -> docs/records/geomsweep_rNN.jsonl
+#   3 record_round   roofline (>=3 reps + 0.8 gate), bench modes (>=3
+#                    reps, min/median/max), configs 1-5 --check --bench
+#   4 check_regression  round N vs N-1 diff (quote output in PERF.md)
 set -u
-OUT="${1:-/tmp/asp_measure}"
+ROUND="${1:?usage: measure_round.sh ROUND [OUT]}"
+OUT="${2:-/tmp/asp_measure}"
+TAG="$(printf 'r%02d' "$ROUND")"
 mkdir -p "$OUT"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}"
 export PYTHONPATH="${PYTHONPATH:-/root/.axon_site:$REPO}"
 cd "$REPO"
 
-run() { # run <name> <timeout_s> <cmd...>
+run() { # run <name> <timeout_s> <cmd...>  (log truncated per invocation:
+  # the record extraction below greps the log, so stale lines from a
+  # previous run must not leak into this round's records)
   local name="$1" to="$2"; shift 2
-  echo "=== $name $(date +%H:%M:%S) ===" | tee -a "$OUT/$name.log"
+  echo "=== $name $(date +%H:%M:%S) ===" | tee "$OUT/$name.log"
   timeout "$to" "$@" >> "$OUT/$name.log" 2>&1
   echo "--- exit $? $(date +%H:%M:%S)" | tee -a "$OUT/$name.log"
 }
 
-run selfcheck   3600 python tools/tpu_selfcheck.py
-run bench       1800 python bench.py
-run bench_res2  1800 python bench.py res_two
-run bench_rstep 2400 python bench.py res_step
-run bench_renv  2400 python bench.py res_env_step
-run bench_s1    1800 python bench.py stream1
-run roofline8k  3600 python benchmarks/roofline.py \
-    --impls pallas_sk,xla --sizes 1024,4096 --batch 8192 --json
-run roofline32k 3600 python benchmarks/roofline.py \
-    --impls pallas_sk,xla --sizes 1024,4096 --batch 32768 --json
-for c in 1 2 3 4 5; do
-  run "config$c" 2400 python "tools/run_config_$c.py" --bench --json
-done
-run ring_b1 2400 python tools/run_config_5.py --mode ring --bench --json
-run ring_b8 2400 python tools/run_config_5.py --mode ring --bench --json \
-    --ring-batch 8
-run ring_b8c 2400 python tools/run_config_5.py --mode ring --bench --json \
-    --ring-batch 8 --composite
-echo "ALL DONE -> $OUT"
+run selfcheck 7200 python tools/tpu_selfcheck.py
+grep -h '^{' "$OUT/selfcheck.log" | tail -1 > "docs/records/selfcheck_$TAG.json" || true
+
+run geomsweep 10800 python tools/tpu_geomsweep.py
+grep -h '^{' "$OUT/geomsweep.log" > "docs/records/geomsweep_$TAG.jsonl" || true
+
+run records 10800 python tools/record_round.py --round "$ROUND"
+
+run regression 600 python tools/check_regression.py --round "$ROUND"
+cat "$OUT/regression.log"
+echo "ALL DONE -> $OUT (records in docs/records/*_$TAG.*)"

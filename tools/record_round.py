@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Per-round machine-readable perf records (VERDICT r3 items 5/6/8).
+
+Writes, for round N:
+  docs/records/roofline_rNN.json — >=3 full repetitions (achievable-BW
+    denominator re-measured each rep) of the declared operating point
+    (pallas_sk, n=4096, batch=32768) plus the secondary points, with an
+    explicit {"target": 0.8, "raw_frac_median": ..., "pass": bool} gate
+    row.  "raw" = achieved GB/s over the measured-achievable GB/s of the
+    SAME rep, no floor subtraction on either side.
+  docs/records/bench_rNN.json — headline bench modes x >=3 reps each,
+    min/median/max (the chip is time-shared; a single-shot number cannot
+    distinguish a real ~5%% regression from slot noise).
+  docs/records/configs_rNN.json — configs 1..5 --check SNRs + --bench
+    throughput (BASELINE.json:7-11 product-path rows).
+
+Each section is skippable (--skip roofline,bench,configs) and every
+record is written as soon as its section completes, so a timeout loses
+at most one section.  Compare rounds with tools/check_regression.py.
+
+Run: python tools/record_round.py --round 4
+"""
+
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
+
+import argparse
+import json
+import statistics
+import subprocess
+
+import numpy as np
+
+RECORDS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "records")
+
+# the declared roofline operating point (docs/PERF.md, BASELINE.json:5)
+OP = {"impl": "pallas_sk", "n": 4096, "batch": 32768}
+SECONDARY = [{"impl": "pallas_sk", "n": 1024, "batch": 32768}]
+BENCH_MODES = ["chain", "res_env_step"]
+
+
+def write(path, obj):
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.write("\n")
+    print(f"wrote {path}", flush=True)
+
+
+def do_roofline(reps: int):
+    import jax
+
+    from benchmarks.roofline import (
+        bench_fft, measure_achievable_gbps, measure_iteration_floor_ms,
+    )
+    from audiosignalprocess_tpu.utils.metrics import detect_chip
+
+    chip = detect_chip()
+    out = {"backend": jax.default_backend(), "chip": chip.name,
+           "spec_gbps": chip.hbm_gbps, "operating_point": OP, "reps": []}
+    fracs = []
+    for rep in range(reps):
+        floor_ms = measure_iteration_floor_ms()
+        meas, _meas_m = measure_achievable_gbps(floor_ms=floor_ms)
+        rrec = {"iteration_floor_ms": round(floor_ms, 3),
+                "achievable_gbps": round(meas, 1), "points": []}
+        for pt in [OP] + SECONDARY:
+            dt, gflops, gbps = bench_fft(pt["impl"], pt["batch"], pt["n"])
+            raw = gbps / meas
+            rrec["points"].append({**pt, "ms": round(dt * 1e3, 3),
+                                   "hbm_gbps": round(gbps, 1),
+                                   "raw_frac": round(raw, 3)})
+            if pt == OP:
+                fracs.append(raw)
+        out["reps"].append(rrec)
+        print(json.dumps(rrec), flush=True)
+    med = statistics.median(fracs)
+    out["gate"] = {"target": 0.8,
+                   "raw_frac_min": round(min(fracs), 3),
+                   "raw_frac_median": round(med, 3),
+                   "raw_frac_max": round(max(fracs), 3),
+                   "pass": bool(med >= 0.8)}
+    print(json.dumps(out["gate"]), flush=True)
+    return out
+
+
+def do_bench(reps: int):
+    import jax
+
+    import bench
+
+    out = {"backend": jax.default_backend(), "modes": {}}
+    for mode in BENCH_MODES:
+        vals = []
+        for _ in range(reps):
+            sps, in_rate = bench.bench_fir_stft_chain(fused=mode)
+            vals.append(round(sps, 1))
+        out["modes"][mode] = {
+            "values": vals, "min": min(vals),
+            "median": round(statistics.median(vals), 1), "max": max(vals),
+            "unit": "samples/s/chip", "in_rate": in_rate}
+        print(json.dumps({mode: out["modes"][mode]}), flush=True)
+    return out
+
+
+def do_configs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = {"configs": {}}
+    for c in range(1, 6):
+        cmd = [sys.executable, os.path.join(repo, "tools", f"run_config_{c}.py"),
+               "--check", "--bench", "--json"]
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=2400, cwd=repo)
+            rec = None
+            for line in res.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "snr_db_vs_oracle" in d or "config" in d:
+                        rec = d
+            if rec is None:
+                rec = {"error": f"no report line (rc={res.returncode}): "
+                       + res.stderr[-300:]}
+        except subprocess.TimeoutExpired:
+            rec = {"error": "timeout"}
+        out["configs"][f"config_{c}"] = rec
+        print(json.dumps({f"config_{c}": rec}), flush=True)
+    snrs = [v.get("snr_db_vs_oracle") for v in out["configs"].values()]
+    out["all_pass_60db"] = bool(all(s is not None and s >= 60.0 for s in snrs))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--round", type=int, required=True)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--skip", default="")
+    args = p.parse_args()
+    skip = set(args.skip.split(","))
+    tag = f"r{args.round:02d}"
+    os.makedirs(RECORDS, exist_ok=True)
+
+    if "roofline" not in skip:
+        write(os.path.join(RECORDS, f"roofline_{tag}.json"),
+              do_roofline(args.reps))
+    if "bench" not in skip:
+        write(os.path.join(RECORDS, f"bench_{tag}.json"), do_bench(args.reps))
+    if "configs" not in skip:
+        write(os.path.join(RECORDS, f"configs_{tag}.json"), do_configs())
+
+
+if __name__ == "__main__":
+    main()

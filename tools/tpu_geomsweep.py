@@ -172,6 +172,45 @@ def main():
         run_case(f"res_fir_gate_step nfft={nfft} hop={hop} block={block}",
                  case, results)
 
+    # --- streaming phase-vocoder step across (nfft, hop, p/q), drained:
+    # the one kernel family whose numerics are chaotic under rounding
+    # (docs/PERF.md), so the selfcheck's single 1024/256 point is not
+    # enough.  Methodology matches tpu_selfcheck's stretch entry: both
+    # sides pinned to HIGHEST (the rotor recursion amplifies any matmul
+    # precision delta into decorrelation, which would measure precision,
+    # not geometry), fused kernel vs the jnp streaming step.
+    from audiosignalprocess_tpu.pipeline import StretchStage
+
+    # block: frames m = block/hop needs m*q % p == 0 (StretchStage rate
+    # mapping), so block is chosen per case
+    stretch_cases = [(1024, 256, 4, 3, 2048), (512, 128, 3, 2, 1536)]
+    if not args.quick:
+        stretch_cases += [(2048, 512, 5, 4, 2560)]
+    prev_mode = os.environ.get("ASP_MATMUL_MODE")
+    os.environ["ASP_MATMUL_MODE"] = "highest"
+    try:
+        for nfft, hop, pp, qq, block in stretch_cases:
+            def case(nfft=nfft, hop=hop, pp=pp, qq=qq, block=block):
+                x = rng.standard_normal((2, block * 6)).astype(np.float32)
+                cref = Chain([StretchStage(p=pp, q=qq, nfft=nfft, hop=hop)])
+                cfus = Chain([StretchStage(p=pp, q=qq, nfft=nfft, hop=hop,
+                                           fused=True)])
+                cref.build(); cfus.build()
+                yr = np.asarray(jax.jit(
+                    lambda v: cref.stream(v, block, drain=True))(x))
+                yf = np.asarray(jax.jit(
+                    lambda v: cfus.stream(v, block, drain=True))(x))
+                m = min(yr.shape[-1], yf.shape[-1])
+                return oracle.snr_db(yr[..., :m].astype(np.float64) + 1e-30,
+                                     yf[..., :m].astype(np.float64) + 1e-30)
+            run_case(f"stretch_step nfft={nfft} hop={hop} pq={pp}/{qq}",
+                     case, results)
+    finally:
+        if prev_mode is None:
+            os.environ.pop("ASP_MATMUL_MODE", None)
+        else:
+            os.environ["ASP_MATMUL_MODE"] = prev_mode
+
     ok = all(r.get("pass") for r in results)
     print(json.dumps({"cases": len(results), "all_pass": ok}), flush=True)
     sys.exit(0 if ok else 1)

@@ -93,6 +93,17 @@ def main():
     results["fft_stockham_lanes"] = round(
         10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(errs**2)), 1)
 
+    # rolled constant-geometry kernel (impl="pallas_cg"): on-hardware
+    # parity for the round-3 addition (compile/throughput A/B is
+    # tools/tpu_pease_ab.py -> docs/KERNELS.md)
+    from audiosignalprocess_tpu.kernels.fft_kernel import fft_pease_lanes
+
+    pr_, pi_ = jax.jit(lambda a, b: fft_pease_lanes(a, b, -1.0))(xr_, xi_)
+    pc = np.asarray(pr_) + 1j * np.asarray(pi_)
+    errp = np.abs(rc - pc)
+    results["fft_pease_lanes"] = round(
+        10 * np.log10(np.sum(np.abs(rc) ** 2) / np.sum(errp**2)), 1)
+
     from audiosignalprocess_tpu.kernels.fft_kernel import (
         irfft_stockham, rfft_stockham,
     )
