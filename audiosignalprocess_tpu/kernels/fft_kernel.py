@@ -793,6 +793,23 @@ def _sk_radix() -> int:
     return int(os.environ.get("ASP_SK_RADIX", "4"))
 
 
+def _sk_rows(n: int, itemsize: int) -> int:
+    """Batch-tile rows per grid step for the lanes kernels (the lane
+    width of the transposed in-VMEM planes).  Larger tiles mean fewer,
+    larger DMAs per grid step and better pipeline overlap — the round-4
+    roofline sweep measured the kernel's GB/s ceiling against the tile
+    size (docs/PERF.md "roofline, round 4") — bounded so the working
+    set (in+out tiles x2 planes + ~2 stage temporaries) stays inside
+    the VMEM budget.  ASP_SK_ROWS overrides (multiple of 128)."""
+    o = os.environ.get("ASP_SK_ROWS")
+    if o:
+        r = int(o)
+        check(r >= 128 and r % 128 == 0,
+              f"ASP_SK_ROWS={r} must be a positive multiple of 128")
+        return r
+    return 128
+
+
 def _stockham_stages_r2(xr, xi, n, sign):
     """All log2(n) self-sorting Stockham butterfly stages on (n, L)
     sublane-major planes (transform on sublanes, batch on lanes).
@@ -926,7 +943,7 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
     check_kernel_dtype(xr.dtype)
     dt = xr.dtype
-    L = 128
+    L = _sk_rows(n, np.dtype(dt).itemsize)
     bp = -(-b // L) * L
     if bp != b:
         pad = ((0, bp - b), (0, 0))
