@@ -787,10 +787,17 @@ def fft_radix2_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
 
 
 def _sk_radix() -> int:
-    """Stockham stage radix: 4 (default; half the VMEM passes of radix-2,
-    same multiply count) or 2 (ASP_SK_RADIX=2, the reference recurrence
-    kept for A/B benchmarking)."""
-    return int(os.environ.get("ASP_SK_RADIX", "4"))
+    """Stockham stage radix: 8 / 4 / 2 composed radix-2 stages per full
+    VMEM pass (same multiply count and stage ORDER in every mode — the
+    result is a reassociation of the radix-2 recurrence, never a
+    different algorithm).  The stage loop is pass-bound, not FLOP-bound:
+    the kernel's ~170 GB/s ceiling measured round 4 was INVARIANT to
+    chip-share slot and DMA tile size, so fewer materialized passes is
+    the lever (docs/PERF.md "roofline, round 4").  ASP_SK_RADIX
+    overrides for A/B."""
+    r = int(os.environ.get("ASP_SK_RADIX", "4"))
+    check(r in (2, 4, 8), f"ASP_SK_RADIX must be 2|4|8, got {r}")
+    return r
 
 
 def _sk_rows(n: int, itemsize: int) -> int:
@@ -857,10 +864,19 @@ def _stockham_stages(xr, xi, n, sign):
     Stage order is unchanged, so the result is the radix-2 recurrence's
     bit-for-bit reassociation; the final stage falls back to radix-2
     when log2(n) is odd."""
-    if _sk_radix() == 2:
+    radix = _sk_radix()
+    if radix == 2:
         return _stockham_stages_r2(xr, xi, n, sign)
+    if radix == 8:
+        return _stockham_stages_r8(xr, xi, n, sign)
+    return _stages_r4_from(xr, xi, n, sign, 1, n)
+
+
+def _stages_r4_from(xr, xi, n, sign, Lt, R):
+    """Radix-4 Stockham passes from view (Lt, R, L) down to R == 1,
+    with the radix-2 tail for odd remaining log2.  Shared by the
+    radix-4 path (Lt=1, R=n) and the radix-8 loop's remainder."""
     L = xr.shape[-1]
-    Lt, R = 1, n
     while R >= 4:
         q = R // 4
         ar = xr.reshape(Lt, R, L)
@@ -911,6 +927,93 @@ def _stockham_stages(xr, xi, n, sign):
         xr = jnp.concatenate([ur + vr, ur - vr], axis=0).reshape(n, L)
         xi = jnp.concatenate([ui + vi, ui - vi], axis=0).reshape(n, L)
     return xr, xi
+
+
+def _stockham_stages_r8(xr, xi, n, sign):
+    """Radix-8 Stockham passes: THREE radix-2 stages composed per full
+    VMEM pass (a radix-4 pass plus one more radix-2 stage carried in
+    registers), remainder via _stages_r4_from.  Same multiply count and
+    stage order as the radix-2 recurrence — a pure reassociation.
+
+    Derivation of the in-register third stage: the radix-4 pass at view
+    (Lt, R, L) leaves four blocks X_j (Lt, q, L), q = R/4, whose axis-0
+    concat is the (4Lt, q, L) view of the next stage.  That stage's
+    Stockham twiddle at index m = j*Lt + l factors as
+        e^{sign*i*pi*m/(4Lt)} = W_j * wl,
+        W_j = e^{sign*i*pi*j/4},  wl = e^{sign*i*pi*l/(4Lt)},
+    so with u_j = X_j[:, :q/2], v_j = X_j[:, q/2:], tv_j = W_j*wl*v_j,
+    the composed output order is
+        [u_0+tv_0, .., u_3+tv_3, u_0-tv_0, .., u_3-tv_3]  -> (8Lt, q/2).
+    W_j are compile-time constants (1, c45(1+si), si, c45(-1+si) with
+    c45 = sqrt(2)/2 and s = sign), applied as real/imag shuffles."""
+    L = xr.shape[-1]
+    c45 = float(np.sqrt(0.5))
+    Lt, R = 1, n
+    while R >= 8:
+        q = R // 4
+        h2 = q // 2
+        ar = xr.reshape(Lt, R, L)
+        ai = xi.reshape(Lt, R, L)
+        a0r, a1r, a2r, a3r = (ar[:, k * q : (k + 1) * q] for k in range(4))
+        a0i, a1i, a2i, a3i = (ai[:, k * q : (k + 1) * q] for k in range(4))
+        if Lt > 1:
+            l = jax.lax.broadcasted_iota(jnp.int32, (Lt, 1, 1), 0).astype(
+                xr.dtype)
+            th = (sign * np.pi / (2 * Lt)) * l
+            wc, ws = jnp.cos(th), jnp.sin(th)
+            w2c, w2s = jnp.cos(2.0 * th), jnp.sin(2.0 * th)
+            t2r = a2r * w2c - a2i * w2s
+            t2i = a2r * w2s + a2i * w2c
+            t3r = a3r * w2c - a3i * w2s
+            t3i = a3r * w2s + a3i * w2c
+        else:
+            t2r, t2i, t3r, t3i = a2r, a2i, a3r, a3i
+        er, ei = a0r + t2r, a0i + t2i
+        fr, fi = a0r - t2r, a0i - t2i
+        gr, gi = a1r + t3r, a1i + t3i
+        hr, hi = a1r - t3r, a1i - t3i
+        if Lt > 1:
+            wgr = gr * wc - gi * ws
+            wgi = gr * ws + gi * wc
+            whr = hr * wc - hi * ws
+            whi = hr * ws + hi * wc
+        else:
+            wgr, wgi, whr, whi = gr, gi, hr, hi
+        swhr, swhi = (-whi, whr) if sign > 0 else (whi, -whr)
+        # the four radix-4 outputs, kept in registers (never written to
+        # a full (n, L) array)
+        x4 = ((er + wgr, ei + wgi), (fr + swhr, fi + swhi),
+              (er - wgr, ei - wgi), (fr - swhr, fi - swhi))
+        # composed radix-2 stage: wl twiddle over the Lt axis
+        if Lt > 1:
+            thl = (sign * np.pi / (4 * Lt)) * l
+            wlc, wls = jnp.cos(thl), jnp.sin(thl)
+        plus, minus = [], []
+        for j, (x4r, x4i) in enumerate(x4):
+            ur_, ui_ = x4r[:, :h2], x4i[:, :h2]
+            vr_, vi_ = x4r[:, h2:], x4i[:, h2:]
+            if Lt > 1:
+                br = vr_ * wlc - vi_ * wls
+                bi = vr_ * wls + vi_ * wlc
+            else:
+                br, bi = vr_, vi_
+            if j == 0:          # W_0 = 1
+                tvr, tvi = br, bi
+            elif j == 1:        # W_1 = c45 * (1 + sign*i)
+                tvr = c45 * (br - sign * bi)
+                tvi = c45 * (bi + sign * br)
+            elif j == 2:        # W_2 = sign*i
+                tvr, tvi = -sign * bi, sign * br
+            else:               # W_3 = c45 * (-1 + sign*i)
+                tvr = -c45 * (br + sign * bi)
+                tvi = c45 * (sign * br - bi)
+            plus.append((ur_ + tvr, ui_ + tvi))
+            minus.append((ur_ - tvr, ui_ - tvi))
+        both = plus + minus
+        xr = jnp.concatenate([p[0] for p in both], axis=0).reshape(n, L)
+        xi = jnp.concatenate([p[1] for p in both], axis=0).reshape(n, L)
+        Lt, R = 8 * Lt, h2
+    return _stages_r4_from(xr, xi, n, sign, Lt, R)
 
 
 def _stockham_kernel(n, sign, xr_ref, xi_ref, or_ref, oi_ref):

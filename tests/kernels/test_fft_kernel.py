@@ -161,6 +161,60 @@ class TestRadix2Lanes:
                             got.imag.astype(np.float64)])) >= 100.0
 
 
+class TestStockhamLanes:
+    """Self-sorting Stockham kernel (impl="pallas_sk"): the perf path.
+    The stage radix (ASP_SK_RADIX: 2/4/8 composed radix-2 stages per
+    VMEM pass) and the batch-tile rows (ASP_SK_ROWS) are pure
+    reassociations/tilings — parity must hold across the whole matrix,
+    including sizes where the radix-8 loop leaves every remainder class
+    (R in {1, 2, 4} after the last full pass)."""
+
+    @pytest.mark.parametrize("radix", ("2", "4", "8"))
+    @pytest.mark.parametrize("n", (8, 64, 128, 256, 1024))
+    def test_forward_inverse_radix(self, rng, monkeypatch, radix, n):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("ASP_SK_RADIX", radix)
+        xr = rng.standard_normal((5, n)).astype(np.float32)
+        xi = rng.standard_normal((5, n)).astype(np.float32)
+        yr, yi = fft_kernel.fft_stockham_lanes(jnp.asarray(xr),
+                                               jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real, got.imag])) >= 100.0
+        zr, zi = fft_kernel.fft_stockham_lanes(yr, yi, +1.0)
+        back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert oracle.snr_db(
+            np.concatenate([xr, xi]).astype(np.float64),
+            np.concatenate([back.real, back.imag])) >= 100.0
+
+    def test_rows_tile_ragged_batch(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("ASP_SK_ROWS", "256")
+        xr = rng.standard_normal((300, 128)).astype(np.float32)  # pads to 512
+        xi = rng.standard_normal((300, 128)).astype(np.float32)
+        yr, yi = fft_kernel.fft_stockham_lanes(jnp.asarray(xr),
+                                               jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert got.shape == (300, 128)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real, got.imag])) >= 100.0
+
+    def test_rows_validation(self, monkeypatch):
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("ASP_SK_ROWS", "100")
+        with pytest.raises(ValueError, match="ASP_SK_ROWS"):
+            fft_kernel.fft_stockham_lanes(
+                jnp.zeros((2, 64), np.float32),
+                jnp.zeros((2, 64), np.float32), -1.0)
+
+
 class TestPeaseLanes:
     """Rolled constant-geometry (Pease/Korn-Lambiotte) kernel: one
     fori_loop stage body + XLA bit-reversal restore — the compile-time
