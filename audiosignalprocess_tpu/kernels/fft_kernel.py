@@ -158,12 +158,18 @@ _PIN_DEFAULT = frozenset({"cfft"})
 
 def _matmul_pin() -> frozenset:
     p = os.environ.get("ASP_MATMUL_PIN")
-    if p is None:
+    # empty/whitespace == unset: an env var that leaked in as "" from a
+    # wrapper script must not silently drop the cfft default back to
+    # the 77.6 dB thin-margin configuration — unpinning is only the
+    # EXPLICIT "none"
+    if p is None or not p.strip():
         return _PIN_DEFAULT
     fams = frozenset(f.strip() for f in p.split(",") if f.strip())
     check(fams <= {"res", "fft", "cfft", "none"},
           f"ASP_MATMUL_PIN families must be res|fft|cfft|none, got {p!r}")
-    return frozenset() if "none" in fams else fams
+    check("none" not in fams or len(fams) == 1,
+          f"ASP_MATMUL_PIN 'none' cannot be combined with families: {p!r}")
+    return frozenset() if fams == {"none"} else fams
 
 
 def _use_bf16x3(dt, family: str | None = None) -> bool:
@@ -802,19 +808,25 @@ def _sk_radix() -> int:
 
 def _sk_rows(n: int, itemsize: int) -> int:
     """Batch-tile rows per grid step for the lanes kernels (the lane
-    width of the transposed in-VMEM planes).  Larger tiles mean fewer,
-    larger DMAs per grid step and better pipeline overlap — the round-4
-    roofline sweep measured the kernel's GB/s ceiling against the tile
-    size (docs/PERF.md "roofline, round 4") — bounded so the working
-    set (in+out tiles x2 planes + ~2 stage temporaries) stays inside
-    the VMEM budget.  ASP_SK_ROWS overrides (multiple of 128)."""
+    width of the transposed in-VMEM planes).  The default stays 128:
+    the round-4 sweep measured the kernel's GB/s ceiling INVARIANT to
+    the tile size (128 vs 256 identical; docs/PERF.md "roofline,
+    round 4"), so bigger tiles buy nothing here.  ASP_SK_ROWS
+    overrides for A/B (multiple of 128), clamped so the working set
+    (~6 full (rows, n) planes: in+out x2 planes + stage temporaries)
+    stays inside the kernel's 100 MB VMEM ceiling — an over-ask is
+    reduced to the largest legal tile rather than failing at Mosaic
+    compile (ASP_SK_ROWS=512 at n=4096 f32 was measured to blow it)."""
     o = os.environ.get("ASP_SK_ROWS")
-    if o:
-        r = int(o)
-        check(r >= 128 and r % 128 == 0,
-              f"ASP_SK_ROWS={r} must be a positive multiple of 128")
-        return r
-    return 128
+    if not o:
+        return 128
+    r = int(o)
+    check(r >= 128 and r % 128 == 0,
+          f"ASP_SK_ROWS={r} must be a positive multiple of 128")
+    # 30 MB working-set budget: caps n=4096 f32 at 256 rows (measured
+    # compiling; 512 was measured to exceed the kernel's VMEM ceiling)
+    cap = max((30 * 1024 * 1024 // (6 * n * itemsize)) // 128 * 128, 128)
+    return min(r, cap)
 
 
 def _stockham_stages_r2(xr, xi, n, sign):

@@ -52,8 +52,17 @@ def test_pin_switches_table_dtype(monkeypatch):
     m5 = _m5_kernel_input(np.zeros((2, 4, 4)), 2, 4, 8, np.float32)
     assert m5.dtype == jnp.float32
 
-    # "none" beats any other listed family (explicit un-pin)
+    # "none" must stand alone (a mixed list is a config error, not a
+    # silent un-pin), and an empty/whitespace value is treated as UNSET
+    # (the default pins stay active) — only the explicit "none" unpins
     monkeypatch.setenv("ASP_MATMUL_PIN", "res,none")
+    with pytest.raises(ValueError, match="combined"):
+        fft_kernel._matmul_pin()
+    monkeypatch.setenv("ASP_MATMUL_PIN", "")
+    assert fft_kernel._matmul_pin() == fft_kernel._PIN_DEFAULT
+    monkeypatch.setenv("ASP_MATMUL_PIN", "  ")
+    assert fft_kernel._matmul_pin() == fft_kernel._PIN_DEFAULT
+    monkeypatch.setenv("ASP_MATMUL_PIN", "none")
     assert fft_kernel._matmul_pin() == frozenset()
 
 

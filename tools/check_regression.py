@@ -27,17 +27,28 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs", "records")
 
 SNR_DROP_DB = 5.0
+SNR_BOUND_DB = 60.0  # BASELINE.json:5 — an absolute violation is a
+                     # finding even with zero cross-round drop
 FALLBACK_TP_DROP = 0.10
+
+_LOAD_ERRORS = []
 
 
 def load(name):
+    """Parse a record; an unreadable/empty/corrupt file is itself a
+    finding (a timed-out sweep step must not read as a clean round)."""
     path = os.path.join(RECORDS, name)
     if not os.path.exists(path):
         return None
-    with open(path) as f:
-        if name.endswith(".jsonl"):
-            return [json.loads(ln) for ln in f if ln.strip()]
-        return json.load(f)
+    try:
+        with open(path) as f:
+            if name.endswith(".jsonl"):
+                return [json.loads(ln) for ln in f if ln.strip()]
+            return json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        _LOAD_ERRORS.append({"record": name,
+                             "error": f"{type(e).__name__}: {e}"[:200]})
+        return None
 
 
 def prev_round(kind, ext, this_round):
@@ -65,16 +76,33 @@ def main():
             kind, ext, n)
         return (load(f"{kind}_r{b:02d}.{ext}"), b) if b else (None, None)
 
-    # --- selfcheck: per-kernel SNRs
+    def is_snr(v):
+        # bools are ints in Python: exclude pass flags from numeric
+        # comparison (False < True - 5 never fires; flips are checked
+        # explicitly below)
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    # --- selfcheck: per-kernel SNRs (absolute bound + cross-round drop
+    # + pass-flag flip + kernels that vanished from the record)
     cur = load(f"selfcheck_r{n:02d}.json")
     prev, b = base_for("selfcheck")
+    if cur:
+        for k, v in cur.items():
+            if is_snr(v) and v < SNR_BOUND_DB:
+                findings.append({"record": "selfcheck", "key": k,
+                                 "cur_db": v, "note": "below 60 dB bound"})
+        if cur.get("all_pass_60db") is False:
+            findings.append({"record": "selfcheck", "key": "all_pass_60db",
+                             "cur": False})
     if cur and prev:
         compared["selfcheck"] = f"r{n:02d} vs r{b:02d}"
         for k, v in prev.items():
-            if not isinstance(v, (int, float)) or k == "backend":
+            if not is_snr(v) or k == "backend":
                 continue
-            if k in cur and isinstance(cur[k], (int, float)) \
-                    and cur[k] < v - SNR_DROP_DB:
+            if k not in cur or not is_snr(cur.get(k)):
+                findings.append({"record": "selfcheck", "key": k,
+                                 "prev_db": v, "cur_db": "MISSING"})
+            elif cur[k] < v - SNR_DROP_DB:
                 findings.append({"record": "selfcheck", "key": k,
                                  "prev_db": v, "cur_db": cur[k]})
 
@@ -83,6 +111,11 @@ def main():
     bg = args.against if args.against is not None else prev_round(
         "geomsweep", "jsonl", n)
     prevg = load(f"geomsweep_r{bg:02d}.jsonl") if bg else None
+    if curg:
+        for r in curg:
+            if "case" in r and not r.get("pass", True):
+                findings.append({"record": "geomsweep", "key": r["case"],
+                                 "cur": r, "note": "case failing"})
     if curg and prevg:
         compared["geomsweep"] = f"r{n:02d} vs r{bg:02d}"
         curmap = {r["case"]: r.get("snr_db") for r in curg if "case" in r}
@@ -101,6 +134,13 @@ def main():
     # --- configs: SNR + throughput rows
     cur = load(f"configs_r{n:02d}.json")
     prev, b = base_for("configs")
+    if cur:
+        for k, v in cur.get("configs", {}).items():
+            s = v.get("snr_db_vs_oracle")
+            if "error" in v or (s is not None and s < SNR_BOUND_DB) \
+                    or v.get("parity") is False:
+                findings.append({"record": "configs", "key": k, "cur": v,
+                                 "note": "absolute parity failure"})
     if cur and prev:
         compared["configs"] = f"r{n:02d} vs r{b:02d}"
         for k, pv in prev.get("configs", {}).items():
@@ -132,6 +172,23 @@ def main():
                                  "cur_median": med,
                                  "note": "fallback 10% threshold"})
 
+    # --- ring mode: config-5 ring-driver throughput (measure_round step)
+    cur = load(f"ring_r{n:02d}.json")
+    prev, b = base_for("ring")
+    if cur and prev:
+        compared["ring"] = f"r{n:02d} vs r{b:02d}"
+        ps, cs = prev.get("samples_per_s"), cur.get("samples_per_s")
+        if ps and cs and cs < ps * (1 - FALLBACK_TP_DROP):
+            findings.append({"record": "ring", "key": "samples_per_s",
+                             "prev": ps, "cur": cs,
+                             "note": "fallback 10% threshold"})
+        psnr, csnr = (prev.get("snr_db_vs_oracle"),
+                      cur.get("snr_db_vs_oracle"))
+        if psnr is not None and csnr is not None \
+                and csnr < psnr - SNR_DROP_DB:
+            findings.append({"record": "ring", "key": "snr_db_vs_oracle",
+                             "prev_db": psnr, "cur_db": csnr})
+
     # --- roofline gate
     cur = load(f"roofline_r{n:02d}.json")
     prev, b = base_for("roofline")
@@ -148,6 +205,11 @@ def main():
                 findings.append({"record": "roofline", "key": "raw_frac",
                                  "prev_median": pm, "cur_median": cm})
 
+    for e in _LOAD_ERRORS:
+        findings.append({"record": e["record"], "key": "unreadable",
+                         "error": e["error"],
+                         "note": "empty/corrupt record file — a failed "
+                                 "sweep step must not read as clean"})
     print(json.dumps({"round": n, "compared": compared,
                       "findings": findings,
                       "ok": not findings}, indent=1))

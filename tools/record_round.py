@@ -40,7 +40,9 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(
 # the declared roofline operating point (docs/PERF.md, BASELINE.json:5)
 OP = {"impl": "pallas_sk", "n": 4096, "batch": 32768}
 SECONDARY = [{"impl": "pallas_sk", "n": 1024, "batch": 32768}]
-BENCH_MODES = ["chain", "res_env_step"]
+# chain = headline; stream1/res_step = the one-kernel-per-block
+# streaming paths; res_env_step = the entire config-5 chain per block
+BENCH_MODES = ["chain", "stream1", "res_step", "res_env_step"]
 
 
 def write(path, obj):
