@@ -50,7 +50,8 @@ from audiosignalprocess_tpu.utils.validate import check
 
 
 def fir_gate_rows(cfg, w3, j, floor_b, wv, inv_norm_blk,
-                  c1, s1, c2, s2, tbc, tbs, hgr, hgi, spill, rel):
+                  c1, s1, c2, s2, tbc, tbs, hgr, hgi, spill, rel,
+                  c2p=None, s2p=None):
     """Shared fused FIR+gate body: (tb, wrows, n2) raw rows (prefix-
     aligned: rows [j*span_r - e0r ...]) -> (tb, span_r, n2) gated output
     rows.  Writes the OLA ``spill`` and release ``rel`` VMEM carries.
@@ -91,8 +92,12 @@ def fir_gate_rows(cfg, w3, j, floor_b, wv, inv_norm_blk,
             rows.append(state)
         rel[:] = state
         mask = jnp.stack(rows, axis=1)
+    # synthesis inverse is POST-decision: the composite kernel passes a
+    # separate table pair (family "cfft_post"); None = same tables
+    c2i = c2 if c2p is None else c2p
+    s2i = s2 if s2p is None else s2p
     y = fourstep_grid_inv_real(gr * mask, gi * mask, n1, n2,
-                               c1, s1, c2, s2, tbc, tbs) * wv
+                               c1, s1, c2i, s2i, tbc, tbs) * wv
     fidx = j * mf + jax.lax.broadcasted_iota(jnp.int32, (1, mf, 1, 1), 1)
     y = y * (fidx < nframes).astype(y.dtype)
     # ---- OLA + spill carry (shared with the gate kernel)
@@ -289,7 +294,7 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                        rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
                        c1, s1, c2, s2, tbc, tbs, hgr, hgi,
                        fro_ref, fio_ref, fso_ref, oto_ref,
-                       relo_ref):
+                       relo_ref, c2p=None, s2p=None):
     """Shared streaming FIR->gate step body on in-VMEM raw rows.
     Returns the emitted (tb, m*hr, n2) output rows (WOLA-normalized);
     callers write them (or feed them to the envelope tail) themselves.
@@ -322,7 +327,8 @@ def fir_gate_step_rows(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
         valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs,
-        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref)
+        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref,
+        c2p=c2p, s2p=s2p)
 
 
 def envelope_step_rows(e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,

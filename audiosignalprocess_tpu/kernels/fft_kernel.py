@@ -144,16 +144,24 @@ def _matmul_mode() -> str:
 #          far more SNR than the noise itself — the effect is strongly
 #          input-dependent: 108 dB on one seed, 77.6 on the selfcheck
 #          data, same code).
-#   cfft — the "fft" tables of the COMPOSITE res->FIR->gate kernels
-#          only (res_chain_kernel).  Pinned BY DEFAULT: the composite
-#          step is where the flip effect was measured at 77.6 dB, and
-#          scoping the pin there leaves every other fused kernel (all
-#          ≥86 dB unpinned) at the cheaper 3-pass emulation.
-# ASP_MATMUL_PIN (comma list; "none" pins nothing, including the cfft
+#   cfft — ALL the "fft" tables of the COMPOSITE res->FIR->gate
+#          kernels (res_chain_kernel): every grid transform at HIGHEST
+#          (measured 19.1 %/20.5 % of the composite streaming modes).
+#   cfftpre — the DEFAULT: only the composite kernels' PRE-DECISION
+#          transforms (OS-FIR forward + inverse, gate analysis
+#          forward) at HIGHEST; the post-decision transforms (gate
+#          synthesis inverse, envelope OS) stay on the 3-pass
+#          emulation.  The gate-flip mechanism only cares about
+#          spectrum accuracy AT the threshold comparison; post-
+#          decision noise is a smooth ~109 dB/matmul floor.  Measured
+#          on-chip: 114.7 dB on the selfcheck data (vs 122.1 full pin,
+#          77.6 unpinned) at 11.4-12.9 % of the composite modes (vs
+#          19.5-20.6 % full pin) — docs/PERF.md "composite margin".
+# ASP_MATMUL_PIN (comma list; "none" pins nothing, including the
 # default) overrides for isolation A/Bs (tools/tpu_pin_ab.py).  The
-# default and its measured SNR/throughput tradeoff: docs/PERF.md
+# default and its measured SNR/throughput tradeoffs: docs/PERF.md
 # "composite margin".
-_PIN_DEFAULT = frozenset({"cfft"})
+_PIN_DEFAULT = frozenset({"cfftpre"})
 
 
 def _matmul_pin() -> frozenset:
@@ -165,19 +173,30 @@ def _matmul_pin() -> frozenset:
     if p is None or not p.strip():
         return _PIN_DEFAULT
     fams = frozenset(f.strip() for f in p.split(",") if f.strip())
-    check(fams <= {"res", "fft", "cfft", "none"},
-          f"ASP_MATMUL_PIN families must be res|fft|cfft|none, got {p!r}")
+    check(fams <= {"res", "fft", "cfft", "cfftpre", "none"},
+          f"ASP_MATMUL_PIN families must be res|fft|cfft|cfftpre|none, "
+          f"got {p!r}")
     check("none" not in fams or len(fams) == 1,
           f"ASP_MATMUL_PIN 'none' cannot be combined with families: {p!r}")
     return frozenset() if fams == {"none"} else fams
 
 
+def _family_pinned(family: str, pins: frozenset) -> bool:
+    """Pin-coverage relation: a broader pin covers the narrower family.
+    "fft" covers everything grid-table; "cfft" covers both composite
+    families; "cfftpre" covers only the pre-decision composite tables."""
+    if family in pins or ("fft" in pins and family in ("cfft", "cfft_post")):
+        return True
+    if family == "cfft" and ("cfftpre" in pins or "cfft" in pins):
+        return True
+    if family == "cfft_post" and "cfft" in pins:
+        return True
+    return False
+
+
 def _use_bf16x3(dt, family: str | None = None) -> bool:
-    if family is not None:
-        pins = _matmul_pin()
-        # a global "fft" pin covers the composite kernels' grid tables too
-        if family in pins or (family == "cfft" and "fft" in pins):
-            return False
+    if family is not None and _family_pinned(family, _matmul_pin()):
+        return False
     m = _matmul_mode()
     if m == "bf16x3":
         return jnp.dtype(dt) == jnp.float32
@@ -297,6 +316,21 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None,
     return [jnp.asarray(c1_, dt), jnp.asarray(s1_, dt),
             _tab(c2_, dt, family), _tab(s2_, dt, family),
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
+
+
+def grid_post_tables(n: int, dt, split: tuple[int, int] | None = None):
+    """The POST-DECISION c2/s2 pair for the composite kernels (family
+    "cfft_post"): under the default cfftpre pin these stay on the
+    3-pass bf16 emulation while the pre-decision pair is f32/HIGHEST;
+    under a full cfft/fft pin both pairs are f32 (identical arrays
+    modulo construction).  Butterfly mode returns the same minimal
+    placeholders as grid_table_arrays (the tables are never read)."""
+    n1, n2 = split if split is not None else _split_n(n)
+    if _use_lane_butterfly():
+        ph = jnp.zeros((8, 128), dt)
+        return [ph, ph]
+    _c1, _s1, c2_, s2_, _tc, _ts = _grid_tables(n, n1, n2)
+    return [_tab(c2_, dt, "cfft_post"), _tab(s2_, dt, "cfft_post")]
 
 
 def tap_spectrum_grid(h, nfft: int, n1: int, n2: int, dt):

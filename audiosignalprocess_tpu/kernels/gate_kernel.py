@@ -478,7 +478,8 @@ def gate_step_rows(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
                    fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
                    valid_ref, take_ref, inorm_ref, wgrid,
                    c1, s1, c2, s2, tbc, tbs,
-                   fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
+                   fro_ref, fio_ref, fso_ref, oto_ref, relo_ref,
+                   c2p=None, s2p=None):
     """THE streaming gate-step body on in-VMEM rows: frame + FFT +
     noise-floor accumulation + spectral FIFO + mask/release + inverse +
     OLA, all carries in grid layout.  Returns the WOLA-normalized
@@ -523,8 +524,14 @@ def gate_step_rows(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
         mask = jnp.stack(rows, axis=1)
     else:
         relo_ref[:] = rel_ref[:]  # pass-through (all outputs must be written)
+    # synthesis inverse is POST-decision: the composite kernels pass a
+    # separate table pair (family "cfft_post", 3-pass under the default
+    # cfftpre pin — see fft_kernel._PIN_DEFAULT); None = same tables
+    c2i = c2 if c2p is None else c2p
+    s2i = s2 if s2p is None else s2p
     y = fourstep_grid_inv_real(pr * mask, pi * mask, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
+                               c1[:], s1[:], c2i[:], s2i[:],
+                               tbc[:], tbs[:]) * wv
     oto_ref[:] = ot_ref[:]                            # seed the OLA carry
     emit = ola_rows(y, oto_ref, m, hr, dr, n2)        # (tb, m*hr, n2)
     return emit * inorm_ref[:][None]

@@ -42,6 +42,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     _use_bf16x3,
     split_bf16_np,
     check_kernel_dtype,
+    grid_post_tables,
     grid_table_arrays,
     tap_spectrum_grid,
 )
@@ -94,7 +95,7 @@ def _row_phase_matrices(h_key, up: int, down: int, n2: int):
 
 
 def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
-                      c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
+                      c1, s1, c2, s2, tbc, tbs, hgr, hgi, c2p, s2p, m5,
                       o_ref, vwin, spill, rel, sem):
     (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt, s5, k5, r5, w5p, off,
      rows_lo_mask, rows_hi_mask, thresh_gain, att, nframes, release) = cfg
@@ -141,7 +142,8 @@ def _res_chain_kernel(cfg, v_hbm, floor_ref, wgrid, inv_norm,
                 thresh_gain, att, nframes, release)
     o_ref[:] = fir_gate_rows(body_cfg, w3, j, floor_ref[:], wgrid[:],
                              inv_norm[0], c1[:], s1[:], c2[:], s2[:],
-                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel)
+                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel,
+                             c2p=c2p[:], s2p=s2p[:])
 
 
 def resample_fir_gate_fused(
@@ -280,10 +282,13 @@ def resample_fir_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    # family "cfft": the composite kernels' grid tables are precision-
-    # pinned by default (measured gate-flip margin, fft_kernel._PIN_DEFAULT)
+    # family "cfft": the composite kernels' PRE-decision grid tables are
+    # precision-pinned by default (measured gate-flip margin,
+    # fft_kernel._PIN_DEFAULT); the post-decision synthesis pair rides
+    # the cheaper emulation (family "cfft_post")
     tabs = grid_table_arrays(nfft, dt, (n1, n2), family="cfft") \
-        + tap_spectrum_grid(h, nfft, n1, n2, dt)
+        + tap_spectrum_grid(h, nfft, n1, n2, dt) \
+        + grid_post_tables(nfft, dt, (n1, n2))
     m5 = _m5_kernel_input(m5_np, r5, w5, w5p, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
@@ -358,12 +363,15 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
                               v_ref, tail_ref, fr_ref, fi_ref, fs_ref,
                               ot_ref, rel_ref, valid_ref, take_ref,
                               inorm_ref, wgrid,
-                              c1, s1, c2, s2, tbc, tbs, hgr, hgi, m5,
+                              c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                              c2p, s2p, m5,
                               y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
                               relo_ref, tailo_ref):
     """Resample prologue (supercycle phase matmuls) + shared FIR->gate
     step body.  v_ref: (tb, T5b, W5p) raw input windows; the resampled
-    rows never touch HBM."""
+    rows never touch HBM.  c2p/s2p: the POST-decision (gate synthesis)
+    n2-side tables — 3-pass under the default cfftpre pin while c2/s2
+    are f32/HIGHEST (fft_kernel._PIN_DEFAULT)."""
     from audiosignalprocess_tpu.kernels.chain_kernel import fir_gate_step_rows
 
     xrows = _res_rows(v_ref[:], m5, r5, t5b, n2, y_ref.dtype)
@@ -376,7 +384,7 @@ def _res_fir_gate_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
         rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs, hgr, hgi,
         fro_ref, fio_ref, fso_ref, oto_ref,
-        relo_ref)
+        relo_ref, c2p=c2p, s2p=s2p)
 
 
 def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
@@ -388,12 +396,14 @@ def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
                                   valid_ref, take_ref,
                                   inorm_ref, wgrid,
                                   c1, s1, c2, s2, tbc, tbs, hgr, hgi,
-                                  hegr, hegi, m5,
+                                  hegr, hegi, c2p, s2p, m5,
                                   y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
                                   relo_ref, tailo_ref, etailo_ref):
     """The ENTIRE config-5 chain per streaming block as ONE kernel:
     resample -> overlap-save FIR -> spectral gate -> envelope demod
-    (BASELINE.json:11)."""
+    (BASELINE.json:11).  The gate synthesis inverse AND the whole
+    envelope stage are post-decision: both run on the c2p/s2p table
+    pair (family "cfft_post")."""
     from audiosignalprocess_tpu.kernels.chain_kernel import (
         envelope_step_rows, fir_gate_step_rows,
     )
@@ -408,11 +418,11 @@ def _res_fir_gate_env_step_kernel(t5b, r5, m, hr, nr, dr, br, e0r, nb_os,
         rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs, hgr, hgi,
         fro_ref, fio_ref, fso_ref, oto_ref,
-        relo_ref)
+        relo_ref, c2p=c2p, s2p=s2p)
     y_ref[:] = envelope_step_rows(
         e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
         rows, etail_ref,
-        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:], hegr[:], hegi[:],
+        c1[:], s1[:], c2p[:], s2p[:], tbc[:], tbs[:], hegr[:], hegi[:],
         etailo_ref)
 
 
@@ -623,8 +633,9 @@ def res_fir_gate_step_fused(
     tiled = [v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel]
     if env:
         tiled.append(pad_b(etail))
+    c2p, s2p = grid_post_tables(nfft, dt, (n1, n2))
     consts = ([valid2, take2, inorm, wgrid] + tabs
-              + ([hegr, hegi] if env else []) + [m5])
+              + ([hegr, hegi] if env else []) + [c2p, s2p, m5])
     ins = tiled + consts
     in_specs = [bs_b(a.shape) for a in tiled] + [bs_c(a) for a in consts]
     out_shape = [jax.ShapeDtypeStruct((bp, span_r, n2), dt),

@@ -67,28 +67,38 @@ def test_pin_switches_table_dtype(monkeypatch):
 
 
 def test_composite_default_pin(monkeypatch):
-    """The composite kernels' grid tables ("cfft") are pinned by DEFAULT
-    (the measured gate-flip margin), while the shared "fft" family stays
-    on the 3-pass emulation; a global "fft" pin covers "cfft" too; an
-    explicit "none" unpins everything including the default."""
+    """The composite kernels' PRE-decision grid tables ("cfft") are
+    pinned by DEFAULT via the "cfftpre" pin (the measured gate-flip
+    margin), while the post-decision pair ("cfft_post") and the shared
+    "fft" family stay on the 3-pass emulation; the broader "cfft" and
+    "fft" pins cover the post pair too; an explicit "none" unpins
+    everything including the default."""
     import jax.numpy as jnp
 
     monkeypatch.setenv("ASP_MATMUL_MODE", "bf16x3")
     t = np.linspace(-1, 1, 16).reshape(4, 4)
 
     monkeypatch.delenv("ASP_MATMUL_PIN", raising=False)
-    assert fft_kernel._matmul_pin() == frozenset({"cfft"})
+    assert fft_kernel._matmul_pin() == frozenset({"cfftpre"})
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
     assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+
+    monkeypatch.setenv("ASP_MATMUL_PIN", "cfft")
+    assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.float32
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "fft")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.float32
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "none")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.bfloat16
+    assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
 
 
-@pytest.mark.parametrize("pin", ["none", "res", "fft", "res,fft"])
+@pytest.mark.parametrize("pin", ["none", "res", "fft", "res,fft",
+                                 "cfft", "cfftpre"])
 def test_composite_parity_under_pins(rng, monkeypatch, pin):
     """The whole-file fused composite chain stays ≥60 dB vs the f64
     oracle under every pin setting (the pin changes precision, never

@@ -57,34 +57,40 @@ def composite_snr(rng_seed=0):
     return float(oracle.snr_db(ref[:, :m], y[:, :m]))
 
 
-def throughput_ab(reps: int):
-    """Interleaved none/cfft res_step throughput: alternating runs so
-    slot drift on the time-shared chip cancels out of the cost ratio
+def throughput_ab(reps: int, mode: str = "res_step"):
+    """Interleaved none/cfftpre/cfft throughput: alternating runs so
+    slot drift on the time-shared chip cancels out of the cost ratios
     (the sequential sweep in main() is order-confounded)."""
     import bench
 
-    rows = {"none": [], "cfft": []}
+    pins = ("none", "cfftpre", "cfft")
+    rows = {p: [] for p in pins}
     for rep in range(reps):
-        for pin in ("none", "cfft"):
+        for pin in pins:
             os.environ["ASP_MATMUL_PIN"] = pin
-            sps, _ = bench.bench_fir_stft_chain(fused="res_step")
+            sps, _ = bench.bench_fir_stft_chain(fused=mode)
             rows[pin].append(round(sps, 1))
-            print(json.dumps({"rep": rep, "pin": pin,
-                              "res_step_samples_per_s": rows[pin][-1]}),
-                  flush=True)
+            print(json.dumps({"rep": rep, "pin": pin, "mode": mode,
+                              "samples_per_s": rows[pin][-1]}), flush=True)
     os.environ.pop("ASP_MATMUL_PIN", None)
     import statistics
-    mn = statistics.median(rows["none"])
-    mc = statistics.median(rows["cfft"])
-    print(json.dumps({"median_none": mn, "median_cfft": mc,
-                      "cfft_cost_frac": round(1 - mc / mn, 3)}), flush=True)
+    med = {p: statistics.median(rows[p]) for p in pins}
+    print(json.dumps({"mode": mode,
+                      **{f"median_{p}": med[p] for p in pins},
+                      "cfftpre_cost_frac": round(1 - med["cfftpre"]
+                                                 / med["none"], 3),
+                      "cfft_cost_frac": round(1 - med["cfft"]
+                                              / med["none"], 3)}),
+          flush=True)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--skip-throughput", action="store_true")
+    p.add_argument("--ab-mode", default="res_step",
+                   help="bench mode for --throughput-ab")
     p.add_argument("--throughput-ab", type=int, default=0, metavar="REPS",
-                   help="interleaved none/cfft res_step cost A/B only")
+                   help="interleaved none/cfftpre/cfft cost A/B only")
     args = p.parse_args()
 
     import jax
@@ -93,10 +99,10 @@ def main():
 
     print(json.dumps({"backend": jax.default_backend()}), flush=True)
     if args.throughput_ab:
-        throughput_ab(args.throughput_ab)
+        throughput_ab(args.throughput_ab, mode=args.ab_mode)
         sys.exit(0)
     rows = []
-    for pin in ("none", "cfft", "res", "fft", "res,fft"):
+    for pin in ("none", "cfftpre", "cfft", "res", "fft", "res,fft"):
         os.environ["ASP_MATMUL_PIN"] = pin
         rec = {"pin": pin, "snr_db": round(composite_snr(), 1)}
         if not args.skip_throughput:
