@@ -189,6 +189,31 @@ def main():
             findings.append({"record": "ring", "key": "snr_db_vs_oracle",
                              "prev_db": psnr, "cur_db": csnr})
 
+    # --- vocoder long-stream soak (bf16x3 shipping precision)
+    cur = load(f"soak_r{n:02d}_bf16x3.json")
+    if cur is not None:
+        if cur.get("pass_60db") is False:
+            findings.append({"record": "soak", "key": "pass_60db",
+                             "cur": cur.get("fused_bf16x3_overall_db")})
+        # soak files are soak_rNN_bf16x3.json: match that shape
+        cands = sorted(glob.glob(os.path.join(
+            RECORDS, "soak_r*_bf16x3.json")))
+        prevs = [c for c in cands
+                 if re.search(r"soak_r(\d+)_", c)
+                 and int(re.search(r"soak_r(\d+)_", c).group(1)) < n]
+        if prevs:
+            prev = load(os.path.basename(prevs[-1]))
+            if prev:
+                compared["soak"] = (f"r{n:02d} vs "
+                                    + os.path.basename(prevs[-1]))
+                pv = prev.get("fused_bf16x3_overall_db")
+                cv = cur.get("fused_bf16x3_overall_db")
+                if pv is not None and cv is not None \
+                        and cv < pv - SNR_DROP_DB:
+                    findings.append({"record": "soak",
+                                     "key": "fused_bf16x3_overall_db",
+                                     "prev_db": pv, "cur_db": cv})
+
     # --- roofline gate
     cur = load(f"roofline_r{n:02d}.json")
     prev, b = base_for("roofline")

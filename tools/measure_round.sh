@@ -69,6 +69,15 @@ else
   FAILED=1
 fi
 
+run soak 7200 python tools/tpu_selfcheck.py --soak
+SK="$(grep -h '^{' "$OUT/soak.log" | tail -1 || true)"
+if [ -n "$SK" ]; then
+  printf '%s\n' "$SK" > "docs/records/soak_${TAG}_bf16x3.json"
+else
+  echo "soak produced NO record line — not writing soak_${TAG}_bf16x3.json" >&2
+  FAILED=1
+fi
+
 run records 10800 python tools/record_round.py --round "$ROUND"
 
 run regression 600 python tools/check_regression.py --round "$ROUND"

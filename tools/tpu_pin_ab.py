@@ -5,11 +5,15 @@ res_fir_gate_step_fused to its round-3 77.6 dB — the resample supercycle
 phase matrices ("res", contraction dim W5 ~ 600) or the four-step grid
 FFT tables ("fft")?
 
-For each ASP_MATMUL_PIN in (none, res, fft, res+fft):
+For each ASP_MATMUL_PIN in (none, cfftpre, cfft, res, fft, res+fft):
   - streamed composite-step SNR vs the f64 oracle chain (the exact
     selfcheck geometry, so rows are comparable with selfcheck_rNN.json)
   - on-device res_step throughput (bench.py methodology: lax.fori_loop
     with a data dependency + scalar checksum fetch)
+
+--throughput-ab REPS [--ab-mode MODE] runs only the interleaved
+none/cfftpre/cfft cost A/B (slot-drift-cancelling; this is where the
+shipped 11.4-12.9 %% cfftpre cost numbers come from).
 
 The CPU interpret path does NOT reproduce the on-chip margin (measured
 108.0 dB with ASP_MATMUL_MODE=bf16x3 forced on CPU, vs 77.6 on-chip,
