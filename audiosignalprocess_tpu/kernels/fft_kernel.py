@@ -167,8 +167,8 @@ _PIN_DEFAULT = frozenset({"cfftpre"})
 def _matmul_pin() -> frozenset:
     p = os.environ.get("ASP_MATMUL_PIN")
     # empty/whitespace == unset: an env var that leaked in as "" from a
-    # wrapper script must not silently drop the cfft default back to
-    # the 77.6 dB thin-margin configuration — unpinning is only the
+    # wrapper script must not silently drop the cfftpre default back
+    # to the 77.6 dB thin-margin configuration — unpinning is only the
     # EXPLICIT "none"
     if p is None or not p.strip():
         return _PIN_DEFAULT
@@ -184,10 +184,15 @@ def _matmul_pin() -> frozenset:
 def _family_pinned(family: str, pins: frozenset) -> bool:
     """Pin-coverage relation: a broader pin covers the narrower family.
     "fft" covers everything grid-table; "cfft" covers both composite
-    families; "cfftpre" covers only the pre-decision composite tables."""
+    families; "cfftpre" covers only the pre-decision composite tables.
+    (Scope note: all of these cover the composite res->FIR->gate
+    KERNELS; the whole-file envelope FIRStage path that follows the
+    whole-file composite kernel is family "fft", so a global-
+    consistency experiment should use ASP_MATMUL_MODE=highest, not a
+    pin.)"""
     if family in pins or ("fft" in pins and family in ("cfft", "cfft_post")):
         return True
-    if family == "cfft" and ("cfftpre" in pins or "cfft" in pins):
+    if family == "cfft" and "cfftpre" in pins:
         return True
     if family == "cfft_post" and "cfft" in pins:
         return True
@@ -318,17 +323,24 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None,
             jnp.asarray(tbc_, dt), jnp.asarray(tbs_, dt)]
 
 
-def grid_post_tables(n: int, dt, split: tuple[int, int] | None = None):
+def grid_post_tables(n: int, dt, split: tuple[int, int] | None = None,
+                     pre_tabs=None):
     """The POST-DECISION c2/s2 pair for the composite kernels (family
     "cfft_post"): under the default cfftpre pin these stay on the
     3-pass bf16 emulation while the pre-decision pair is f32/HIGHEST;
-    under a full cfft/fft pin both pairs are f32 (identical arrays
-    modulo construction).  Butterfly mode returns the same minimal
-    placeholders as grid_table_arrays (the tables are never read)."""
+    under a full cfft/fft pin (or highest mode / interpret / f64) both
+    pairs are identical — pass ``pre_tabs`` (the grid_table_arrays
+    result for family "cfft") to REUSE its c2/s2 arrays in that case
+    instead of DMAing and pinning a duplicate 2×n2×n2 table in VMEM.
+    Butterfly mode returns the same minimal placeholders as
+    grid_table_arrays (the tables are never read)."""
     n1, n2 = split if split is not None else _split_n(n)
     if _use_lane_butterfly():
         ph = jnp.zeros((8, 128), dt)
         return [ph, ph]
+    if pre_tabs is not None and \
+            _use_bf16x3(dt, "cfft") == _use_bf16x3(dt, "cfft_post"):
+        return [pre_tabs[2], pre_tabs[3]]
     _c1, _s1, c2_, s2_, _tc, _ts = _grid_tables(n, n1, n2)
     return [_tab(c2_, dt, "cfft_post"), _tab(s2_, dt, "cfft_post")]
 

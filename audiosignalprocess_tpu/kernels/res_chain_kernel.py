@@ -286,9 +286,9 @@ def resample_fir_gate_fused(
     # precision-pinned by default (measured gate-flip margin,
     # fft_kernel._PIN_DEFAULT); the post-decision synthesis pair rides
     # the cheaper emulation (family "cfft_post")
-    tabs = grid_table_arrays(nfft, dt, (n1, n2), family="cfft") \
-        + tap_spectrum_grid(h, nfft, n1, n2, dt) \
-        + grid_post_tables(nfft, dt, (n1, n2))
+    gtabs = grid_table_arrays(nfft, dt, (n1, n2), family="cfft")
+    tabs = gtabs + tap_spectrum_grid(h, nfft, n1, n2, dt) \
+        + grid_post_tables(nfft, dt, (n1, n2), pre_tabs=gtabs)
     m5 = _m5_kernel_input(m5_np, r5, w5, w5p, dt)
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
@@ -633,7 +633,7 @@ def res_fir_gate_step_fused(
     tiled = [v, tail3, fifo_r, fifo_i, floor_sum, ot3, rel]
     if env:
         tiled.append(pad_b(etail))
-    c2p, s2p = grid_post_tables(nfft, dt, (n1, n2))
+    c2p, s2p = grid_post_tables(nfft, dt, (n1, n2), pre_tabs=tabs[:6])
     consts = ([valid2, take2, inorm, wgrid] + tabs
               + ([hegr, hegi] if env else []) + [c2p, s2p, m5])
     ins = tiled + consts

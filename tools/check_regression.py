@@ -195,17 +195,20 @@ def main():
         if cur.get("pass_60db") is False:
             findings.append({"record": "soak", "key": "pass_60db",
                              "cur": cur.get("fused_bf16x3_overall_db")})
-        # soak files are soak_rNN_bf16x3.json: match that shape
-        cands = sorted(glob.glob(os.path.join(
-            RECORDS, "soak_r*_bf16x3.json")))
-        prevs = [c for c in cands
-                 if re.search(r"soak_r(\d+)_", c)
-                 and int(re.search(r"soak_r(\d+)_", c).group(1)) < n]
-        if prevs:
-            prev = load(os.path.basename(prevs[-1]))
+        # soak files are soak_rNN_bf16x3.json: pick by ROUND NUMBER
+        # (int-compared like prev_round — lexicographic sort breaks at
+        # r100), honoring --against like every other record type
+        by_round = {}
+        for c in glob.glob(os.path.join(RECORDS, "soak_r*_bf16x3.json")):
+            m_ = re.search(r"soak_r(\d+)_", c)
+            if m_ and int(m_.group(1)) < n:
+                by_round[int(m_.group(1))] = os.path.basename(c)
+        want = args.against if args.against is not None else \
+            (max(by_round) if by_round else None)
+        if want in by_round:
+            prev = load(by_round[want])
             if prev:
-                compared["soak"] = (f"r{n:02d} vs "
-                                    + os.path.basename(prevs[-1]))
+                compared["soak"] = f"r{n:02d} vs " + by_round[want]
                 pv = prev.get("fused_bf16x3_overall_db")
                 cv = cur.get("fused_bf16x3_overall_db")
                 if pv is not None and cv is not None \
