@@ -135,8 +135,12 @@ def _matmul_mode() -> str:
 # everywhere.  Families:
 #   res  — polyphase/supercycle phase matrices (res_chain_kernel m5);
 #          contraction dim W5 ≈ 600 for 160/147 × 64 taps, ~5× the FFT
-#          grid's.  Measured on-chip (tools/tpu_pin_ab.py, round 4):
-#          NOT the culprit (+0.4 dB).
+#          grid's.  WHICH family's noise flips the gate is DATA-
+#          dependent: +0.4 dB on the selfcheck seed (grid tables
+#          dominate there) but +27 dB on the geomsweep-class seed
+#          (88.0 → 115.0 with res pinned, grid pins inert) — so res
+#          is in the DEFAULT pin set alongside cfftpre (measured cost
+#          ~3 % of the composite step).
 #   fft  — four-step grid n2-side DFT tables (grid_table_arrays c2/s2)
 #          in EVERY fused kernel.  Measured: +14.1 dB on the composite
 #          step (the gate's threshold comparison flips on borderline
@@ -161,7 +165,7 @@ def _matmul_mode() -> str:
 # default) overrides for isolation A/Bs (tools/tpu_pin_ab.py).  The
 # default and its measured SNR/throughput tradeoffs: docs/PERF.md
 # "composite margin".
-_PIN_DEFAULT = frozenset({"cfftpre"})
+_PIN_DEFAULT = frozenset({"cfftpre", "res"})
 
 
 def _matmul_pin() -> frozenset:

@@ -79,10 +79,13 @@ def test_composite_default_pin(monkeypatch):
     t = np.linspace(-1, 1, 16).reshape(4, 4)
 
     monkeypatch.delenv("ASP_MATMUL_PIN", raising=False)
-    assert fft_kernel._matmul_pin() == frozenset({"cfftpre"})
+    # default: pre-decision grid tables AND the resample phase
+    # matrices pinned (which family flips the gate is data-dependent)
+    assert fft_kernel._matmul_pin() == frozenset({"cfftpre", "res"})
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
     assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+    assert not fft_kernel._use_bf16x3(np.float32, "res")
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "cfft")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
