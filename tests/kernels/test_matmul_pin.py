@@ -100,6 +100,43 @@ def test_composite_default_pin(monkeypatch):
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
 
 
+def test_stream_eq_full_under_shipping_precision(rng):
+    """Chain.stream stays consistent with Chain.full for the composite
+    chain under the SHIPPING precision configuration (bf16x3 emulation
+    + default pins): the streaming step kernel runs the pinned pre/
+    post table split while the whole-file path runs the whole-file
+    composite kernel + the separate envelope stage — their precision
+    configurations differ by design, and this pins that the difference
+    stays far inside the 60 dB product bound."""
+    import os
+
+    prev = os.environ.get("ASP_MATMUL_MODE")
+    os.environ["ASP_MATMUL_MODE"] = "bf16x3"
+    try:
+        from audiosignalprocess_tpu.pipeline import Chain, ResFIRGateStage
+
+        h = oracle.design_fir(64, 0.3)
+        env = oracle.design_fir(129, 0.05)
+        chain = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
+                                       hop=256, noise_frames=4, env_h=env)])
+        lat = chain.build()
+        b_in = 4 * 588
+        x = 0.01 * rng.standard_normal((2, b_in * 4)).astype(np.float32)
+        x[:, 2000:7000] += np.sin(
+            2 * np.pi * 440 * np.arange(5000) / 44100).astype(np.float32)
+        ys = np.asarray(chain.stream(x, b_in))
+        yf = np.asarray(chain.full(x))
+        m = ys.shape[-1] - lat
+        snr = oracle.snr_db(yf[:, :m].astype(np.float64) + 1e-30,
+                            ys[:, lat:].astype(np.float64) + 1e-30)
+        assert snr >= 60.0, snr
+    finally:
+        if prev is None:
+            os.environ.pop("ASP_MATMUL_MODE", None)
+        else:
+            os.environ["ASP_MATMUL_MODE"] = prev
+
+
 @pytest.mark.parametrize("pin", ["none", "res", "fft", "res,fft",
                                  "cfft", "cfftpre"])
 def test_composite_parity_under_pins(rng, monkeypatch, pin):
