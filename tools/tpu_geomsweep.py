@@ -141,7 +141,11 @@ def main():
     # be tracked where it moves with shape
     from audiosignalprocess_tpu.pipeline import ResFIRGateStage
 
+    # nfft=2048 runs the grid at n2=64 (the sub-128-lane row space the
+    # whole-file gate case also exercises)
     comp_cases = [(1024, 256, 8 * 588), (512, 128, 4 * 588)]
+    if not args.quick:
+        comp_cases += [(2048, 512, 4 * 588)]
     for nfft, hop, block in comp_cases:
         def case(nfft=nfft, hop=hop, block=block):
             h = oracle.design_fir(64, 0.3)
