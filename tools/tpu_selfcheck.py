@@ -256,7 +256,7 @@ def main():
     sys.exit(0 if ok else 1)
 
 
-def soak():
+def soak(p: int = 4, q: int = 3):
     """Long-stream vocoder soak at SHIPPING defaults (VERDICT r2 item 5):
     128 drained blocks of stretch_step_fused at the kernel's default
     matmul precision (bf16x3 on hardware) vs the float64 oracle
@@ -264,13 +264,15 @@ def soak():
     control.  Reports per-16-block segment SNRs so accumulated rotor
     drift (the phase accumulator is a running product across the whole
     stream) is visible, and gates on the fused stream's overall SNR
-    >= 60 dB.  Run: python tools/tpu_selfcheck.py --soak"""
+    >= 60 dB.  Run: python tools/tpu_selfcheck.py --soak [P Q]
+    (block must keep frames*q % p == 0: 2048/256-hop frames = 8/block,
+    so p in {2, 4, 8} works at the default block; pass a ratio whose p
+    divides 8*q)."""
     import jax
 
     from audiosignalprocess_tpu.cpu_ref import oracle
     from audiosignalprocess_tpu.pipeline import Chain, StretchStage
 
-    p, q = 4, 3
     block, nblocks = 2048, 128
     n = block * nblocks
     rng = np.random.default_rng(11)
@@ -311,6 +313,11 @@ def soak():
 
 if __name__ == "__main__":
     if "--soak" in sys.argv:
-        soak()
+        rest = [a for a in sys.argv[sys.argv.index("--soak") + 1:]
+                if not a.startswith("-")]
+        if len(rest) >= 2:
+            soak(int(rest[0]), int(rest[1]))
+        else:
+            soak()
     else:
         main()
