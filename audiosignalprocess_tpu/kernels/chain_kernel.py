@@ -33,6 +33,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    grid_post_tables,
     hbm_fetch_rows,
     tap_spectrum_grid,
     vmem_tile_cap,
@@ -105,7 +106,7 @@ def fir_gate_rows(cfg, w3, j, floor_b, wv, inv_norm_blk,
 
 
 def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
-                  c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                  c1, s1, c2, s2, tbc, tbs, hgr, hgi, c2p, s2p,
                   o_ref, win, spill, rel, sem):
     (n1, n2, br, e0r, nb_os, hr, nr, dr, mf, nt,
      thresh_gain, att, nframes, release) = cfg
@@ -143,7 +144,8 @@ def _chain_kernel(cfg, x_hbm, floor_ref, wgrid, inv_norm,
                 thresh_gain, att, nframes, release)
     o_ref[:] = fir_gate_rows(body_cfg, w3, j, floor_ref[:], wgrid[:],
                              inv_norm[0], c1[:], s1[:], c2[:], s2[:],
-                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel)
+                             tbc[:], tbs[:], hgr[:], hgi[:], spill, rel,
+                             c2p=c2p[:], s2p=s2p[:])
 
 
 def fir_noise_gate_fused(
@@ -234,8 +236,13 @@ def fir_noise_gate_fused(
         inv_norm_rows(wv_np, nfft, hop, nframes, total_f * hop), dt
     ).reshape(1, total_f * hr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2)) + tap_spectrum_grid(
-        h, nfft, n1, n2, dt)
+    # pre-decision tables (family "gpre", default-pinned: the FIR
+    # fwd+inv and the gate analysis feed the threshold comparison) +
+    # tap spectrum + the post-decision synthesis pair ("gpost")
+    gtabs = grid_table_arrays(nfft, dt, (n1, n2), family="gpre")
+    tabs = gtabs + tap_spectrum_grid(h, nfft, n1, n2, dt) \
+        + grid_post_tables(nfft, dt, (n1, n2), pre_tabs=gtabs,
+                           family="gpost", pre_family="gpre")
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
@@ -366,7 +373,7 @@ def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                           nf, thresh_gain, att, release,
                           tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
                           rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                          c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                          c1, s1, c2, s2, tbc, tbs, hgr, hgi, c2p, s2p,
                           y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
                           relo_ref):
     y_ref[:] = fir_gate_step_rows(
@@ -377,7 +384,7 @@ def _fir_gate_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs, hgr, hgi,
         fro_ref, fio_ref, fso_ref, oto_ref,
-        relo_ref)
+        relo_ref, c2p=c2p, s2p=s2p)
 
 
 def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
@@ -386,7 +393,7 @@ def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
                               tail_ref, x_ref, fr_ref, fi_ref, fs_ref,
                               ot_ref, rel_ref, etail_ref,
                               valid_ref, take_ref, inorm_ref, wgrid,
-                              c1, s1, c2, s2, tbc, tbs, hgr, hgi,
+                              c1, s1, c2, s2, tbc, tbs, hgr, hgi, c2p, s2p,
                               hegr, hegi,
                               y_ref, fro_ref, fio_ref, fso_ref, oto_ref,
                               relo_ref, etailo_ref):
@@ -400,11 +407,13 @@ def _fir_gate_env_step_kernel(m, hr, nr, dr, br, e0r, nb_os, zpad_r, n1, n2,
         rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs, hgr, hgi,
         fro_ref, fio_ref, fso_ref, oto_ref,
-        relo_ref)
+        relo_ref, c2p=c2p, s2p=s2p)
+    # the envelope tail is POST-decision: it runs on the gate's output,
+    # so its transforms stay on the 3-pass pair (family "gpost")
     y_ref[:] = envelope_step_rows(
         e0re, bre, nb_e, zpad_e, nr, n1, n2, scale,
         rows, etail_ref,
-        c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:], hegr[:], hegi[:],
+        c1[:], s1[:], c2p[:], s2p[:], tbc[:], tbs[:], hegr[:], hegi[:],
         etailo_ref)
 
 
@@ -525,7 +534,10 @@ def fir_gate_step_fused(
         head_norm, const_norm, span_r, n2, dt, eof_in=eof_in,
         tail_norm=tail_norm)
 
-    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt)
+    wgrid, tabs = fir_gate_step_tables(h, nfft, window_kind, n1, n2, dt,
+                                       family="gpre")
+    tabs = tabs + grid_post_tables(nfft, dt, (n1, n2), pre_tabs=tabs[:6],
+                                   family="gpost", pre_family="gpre")
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

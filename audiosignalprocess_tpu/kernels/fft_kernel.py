@@ -161,11 +161,27 @@ def _matmul_mode() -> str:
 #          on-chip: 114.7 dB on the selfcheck data (vs 122.1 full pin,
 #          77.6 unpinned) at 11.4-12.9 % of the composite modes (vs
 #          19.5-20.6 % full pin) — docs/PERF.md "composite margin".
+#   gpre — the STANDALONE gate kernels' pre-decision tables (DEFAULT,
+#          round 5): gate analysis forward in gate_kernel (whole-file,
+#          shard, step) and FIR fwd+inv + gate analysis forward in
+#          chain_kernel — the same decision-flip mechanism as cfftpre,
+#          measured on these kernels at 86.6/89.7 dB rows and a
+#          26 dB config-3 input swing (VERDICT r4 #3).  The synthesis
+#          inverse (and the folded envelope tail) stay on the 3-pass
+#          pair (family "gpost").
+#   vfft — the VOCODER (stretch) kernel's ANALYSIS forward tables
+#          (DEFAULT, round 5): the rotor phase recursion integrates its
+#          input spectra's noise as a random walk, so bf16x3 analysis
+#          noise (~3e-6/frame) costs ~26 dB of long-stream SNR at every
+#          stream length (128-block soak: 76.1 dB unpinned vs 103.7
+#          pinned on the CPU proxy — docs/PERF.md round-5 soak).  The
+#          synthesis inverse adds flat per-frame noise only and stays
+#          3-pass (family "vfft_post").
 # ASP_MATMUL_PIN (comma list; "none" pins nothing, including the
 # default) overrides for isolation A/Bs (tools/tpu_pin_ab.py).  The
 # default and its measured SNR/throughput tradeoffs: docs/PERF.md
 # "composite margin".
-_PIN_DEFAULT = frozenset({"cfftpre", "res"})
+_PIN_DEFAULT = frozenset({"cfftpre", "res", "gpre", "vfft"})
 
 
 def _matmul_pin() -> frozenset:
@@ -177,24 +193,31 @@ def _matmul_pin() -> frozenset:
     if p is None or not p.strip():
         return _PIN_DEFAULT
     fams = frozenset(f.strip() for f in p.split(",") if f.strip())
-    check(fams <= {"res", "fft", "cfft", "cfftpre", "none"},
-          f"ASP_MATMUL_PIN families must be res|fft|cfft|cfftpre|none, "
+    allowed = {"res", "fft", "cfft", "cfftpre", "gpre", "vfft", "none"}
+    check(fams <= allowed,
+          f"ASP_MATMUL_PIN families must be one of {sorted(allowed)}, "
           f"got {p!r}")
     check("none" not in fams or len(fams) == 1,
           f"ASP_MATMUL_PIN 'none' cannot be combined with families: {p!r}")
     return frozenset() if fams == {"none"} else fams
 
 
+# every family that names a grid c2/s2 table pair (the "fft" pin covers
+# all of them; the narrower pins cover their own pre/post splits)
+_GRID_FAMILIES = ("cfft", "cfft_post", "gpre", "gpost", "vfft", "vfft_post")
+
+
 def _family_pinned(family: str, pins: frozenset) -> bool:
     """Pin-coverage relation: a broader pin covers the narrower family.
     "fft" covers everything grid-table; "cfft" covers both composite
-    families; "cfftpre" covers only the pre-decision composite tables.
-    (Scope note: all of these cover the composite res->FIR->gate
-    KERNELS; the whole-file envelope FIRStage path that follows the
+    families; "cfftpre" covers only the pre-decision composite tables;
+    "gpre"/"vfft" cover the standalone-gate / vocoder pre-decision
+    tables (their _post partners are only covered by "fft"/"cfft").
+    (Scope note: the whole-file envelope FIRStage path that follows the
     whole-file composite kernel is family "fft", so a global-
     consistency experiment should use ASP_MATMUL_MODE=highest, not a
     pin.)"""
-    if family in pins or ("fft" in pins and family in ("cfft", "cfft_post")):
+    if family in pins or ("fft" in pins and family in _GRID_FAMILIES):
         return True
     if family == "cfft" and "cfftpre" in pins:
         return True
@@ -328,25 +351,27 @@ def grid_table_arrays(n: int, dt, split: tuple[int, int] | None = None,
 
 
 def grid_post_tables(n: int, dt, split: tuple[int, int] | None = None,
-                     pre_tabs=None):
-    """The POST-DECISION c2/s2 pair for the composite kernels (family
-    "cfft_post"): under the default cfftpre pin these stay on the
-    3-pass bf16 emulation while the pre-decision pair is f32/HIGHEST;
-    under a full cfft/fft pin (or highest mode / interpret / f64) both
-    pairs are identical — pass ``pre_tabs`` (the grid_table_arrays
-    result for family "cfft") to REUSE its c2/s2 arrays in that case
-    instead of DMAing and pinning a duplicate 2×n2×n2 table in VMEM.
-    Butterfly mode returns the same minimal placeholders as
+                     pre_tabs=None, family: str = "cfft_post",
+                     pre_family: str = "cfft"):
+    """The POST-DECISION c2/s2 pair for the split-precision kernels
+    (families "cfft_post" / "gpost" / "vfft_post"): under the default
+    pins these stay on the 3-pass bf16 emulation while the pre-decision
+    pair is f32/HIGHEST; under a covering pin (or highest mode /
+    interpret / f64) both pairs are identical — pass ``pre_tabs`` (the
+    grid_table_arrays result for ``pre_family``) to REUSE its c2/s2
+    arrays in that case instead of building a duplicate host-side
+    table / HBM buffer (each kernel operand still gets its own VMEM
+    window).  Butterfly mode returns the same minimal placeholders as
     grid_table_arrays (the tables are never read)."""
     n1, n2 = split if split is not None else _split_n(n)
     if _use_lane_butterfly():
         ph = jnp.zeros((8, 128), dt)
         return [ph, ph]
     if pre_tabs is not None and \
-            _use_bf16x3(dt, "cfft") == _use_bf16x3(dt, "cfft_post"):
+            _use_bf16x3(dt, pre_family) == _use_bf16x3(dt, family):
         return [pre_tabs[2], pre_tabs[3]]
     _c1, _s1, c2_, s2_, _tc, _ts = _grid_tables(n, n1, n2)
-    return [_tab(c2_, dt, "cfft_post"), _tab(s2_, dt, "cfft_post")]
+    return [_tab(c2_, dt, family), _tab(s2_, dt, family)]
 
 
 def tap_spectrum_grid(h, nfft: int, n1: int, n2: int, dt):
@@ -862,11 +887,13 @@ def _sk_rows(n: int, itemsize: int) -> int:
     the round-4 sweep measured the kernel's GB/s ceiling INVARIANT to
     the tile size (128 vs 256 identical; docs/PERF.md "roofline,
     round 4"), so bigger tiles buy nothing here.  ASP_SK_ROWS
-    overrides for A/B (multiple of 128), clamped so the working set
-    (~6 full (rows, n) planes: in+out x2 planes + stage temporaries)
-    stays inside the kernel's 100 MB VMEM ceiling — an over-ask is
-    reduced to the largest legal tile rather than failing at Mosaic
-    compile (ASP_SK_ROWS=512 at n=4096 f32 was measured to blow it)."""
+    overrides for A/B (multiple of 128), clamped to a conservative
+    ~30 MB working-set budget (~6 full (rows, n) planes: in+out x2
+    planes + stage temporaries) under the pallas_call's 100 MB
+    vmem_limit_bytes — Mosaic accounts the unrolled stage temporaries
+    well above the 6-plane analytic count, so an over-ask is reduced
+    to the largest legal tile rather than failing at Mosaic compile
+    (ASP_SK_ROWS=512 at n=4096 f32 was measured to blow the limit)."""
     o = os.environ.get("ASP_SK_ROWS")
     if not o:
         return 128
@@ -877,6 +904,25 @@ def _sk_rows(n: int, itemsize: int) -> int:
     # compiling; 512 was measured to exceed the kernel's VMEM ceiling)
     cap = max((30 * 1024 * 1024 // (6 * n * itemsize)) // 128 * 128, 128)
     return min(r, cap)
+
+
+def _sk_dimsem() -> tuple:
+    """Grid dimension semantics for the batch-tiled lanes kernels.
+
+    The batch grid is pure tiling — iterations are fully independent —
+    so declaring it ``"parallel"`` is semantically true and frees
+    Mosaic's inter-iteration scheduler from the sequential-carry
+    assumption ``"arbitrary"`` implies when it pipelines the tile DMAs
+    against the butterfly stages.  Round-4 data motivates the knob: the
+    Stockham kernel's GB/s sat INVARIANT at ~170 while the DMA+transpose
+    budget probe ran at ~225 — ~3 ms of VPU stage work per call was NOT
+    hiding under the auto-pipelined DMA (docs/PERF.md "roofline,
+    decomposed").  ASP_SK_DIMSEM=arbitrary restores the round-4 behavior
+    for A/B (tools/tpu_overlap_ab.py)."""
+    v = os.environ.get("ASP_SK_DIMSEM", "parallel")
+    check(v in ("parallel", "arbitrary"),
+          f"ASP_SK_DIMSEM must be parallel|arbitrary, got {v!r}")
+    return (v,)
 
 
 def _stockham_stages_r2(xr, xi, n, sign):
@@ -1107,6 +1153,10 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     b, n = xr.shape
     check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
     check_kernel_dtype(xr.dtype)
+    if _sk_pipe() == "manual" and not _interpret():
+        # explicit multi-buffered DMA pipeline (the interpreter has no
+        # DMA engines to overlap — interpret mode runs the grid form)
+        return fft_stockham_manual(xr, xi, sign)
     dt = xr.dtype
     L = _sk_rows(n, np.dtype(dt).itemsize)
     bp = -(-b // L) * L
@@ -1122,6 +1172,132 @@ def fft_stockham_lanes(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
         out_specs=(bs, bs),
         out_shape=(jax.ShapeDtypeStruct((bp, n), dt),
                    jax.ShapeDtypeStruct((bp, n), dt)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=_sk_dimsem(),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xr, xi)
+    return yr[:b], yi[:b]
+
+
+# ---------------------------------------------------------------------------
+# manually-pipelined Stockham variant (explicit multi-buffered DMA)
+# ---------------------------------------------------------------------------
+#
+# Round-4 finding this attacks (docs/PERF.md "roofline, decomposed"): the
+# auto-pipelined Stockham kernel sits INVARIANT at ~167 GB/s while its
+# own DMA+transpose budget probe runs at ~98 % of the slot's achievable
+# (~225) — about half of the VPU stage work is NOT hiding under the
+# grid pipeline's tile DMAs, and neither tile size, stage radix, nor
+# dimension_semantics moves it (overlap_ab_r05.json).  This variant
+# takes the pipeline away from the auto-pipeliner: grid=(1,), input and
+# output pinned in HBM, an explicit fori_loop over batch tiles with
+# NBUF-deep in/out VMEM buffers and hand-placed async-copy start/wait
+# pairs, so the butterfly stages of tile t run strictly between the
+# start of tile t+NBUF-1's fetch and the wait on tile t's — the maximum
+# overlap the DMA engines can give.  Selected by ASP_SK_PIPE=manual
+# (A/B: tools/tpu_overlap_ab.py --manual); parity is pinned by the same
+# tests as the grid kernel (the stages are the same code).
+
+_SK_NBUF = 3
+
+
+def _sk_pipe() -> str:
+    v = os.environ.get("ASP_SK_PIPE", "auto")
+    check(v in ("auto", "manual"),
+          f"ASP_SK_PIPE must be auto|manual, got {v!r}")
+    return v
+
+
+def _stockham_manual_kernel(n, L, nt, nbuf, sign,
+                            xr_hbm, xi_hbm, or_hbm, oi_hbm,
+                            bufr, bufi, obufr, obufi,
+                            isr, isi, osr, osi):
+    def in_dma(slot, t):
+        return (pltpu.make_async_copy(xr_hbm.at[pl.ds(t * L, L), :],
+                                      bufr.at[slot], isr.at[slot]),
+                pltpu.make_async_copy(xi_hbm.at[pl.ds(t * L, L), :],
+                                      bufi.at[slot], isi.at[slot]))
+
+    def out_dma(slot, t):
+        return (pltpu.make_async_copy(obufr.at[slot],
+                                      or_hbm.at[pl.ds(t * L, L), :],
+                                      osr.at[slot]),
+                pltpu.make_async_copy(obufi.at[slot],
+                                      oi_hbm.at[pl.ds(t * L, L), :],
+                                      osi.at[slot]))
+
+    # warm-up: fill the buffer ring
+    for w in range(min(nbuf, nt)):
+        for d in in_dma(w, w):
+            d.start()
+
+    def body(t, _):
+        slot = jax.lax.rem(t, nbuf)
+
+        # the slot's previous OUTPUT copy must have drained before the
+        # stages overwrite the buffer (t-nbuf wrote this slot)
+        @pl.when(t >= nbuf)
+        def _():
+            for d in out_dma(slot, t - nbuf):
+                d.wait()
+
+        for d in in_dma(slot, t):
+            d.wait()
+        xr = jnp.swapaxes(bufr[slot], 0, 1)  # (n, L)
+        xi = jnp.swapaxes(bufi[slot], 0, 1)
+
+        # next tile's fetch rides under this tile's butterfly stages
+        @pl.when(t + nbuf < nt)
+        def _():
+            for d in in_dma(slot, t + nbuf):
+                d.start()
+
+        yr, yi = _stockham_stages(xr, xi, n, sign)
+        obufr[slot] = jnp.swapaxes(yr, 0, 1)
+        obufi[slot] = jnp.swapaxes(yi, 0, 1)
+        for d in out_dma(slot, t):
+            d.start()
+        return 0
+
+    jax.lax.fori_loop(0, nt, body, 0)
+    # drain the last nbuf output copies
+    for w in range(min(nbuf, nt)):
+        t = nt - min(nbuf, nt) + w
+        for d in out_dma(t % nbuf, t):
+            d.wait()
+
+
+def fft_stockham_manual(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
+    """fft_stockham_lanes with the explicit multi-buffered DMA pipeline
+    (ASP_SK_PIPE=manual path; same stages, same layout contract)."""
+    check(xr.ndim == 2 and xr.shape == xi.shape,
+          'guard failed: xr.ndim == 2 and xr.shape == xi.shape')
+    b, n = xr.shape
+    check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
+    check_kernel_dtype(xr.dtype)
+    dt = xr.dtype
+    L = _sk_rows(n, np.dtype(dt).itemsize)
+    bp = -(-b // L) * L
+    if bp != b:
+        pad = ((0, bp - b), (0, 0))
+        xr, xi = jnp.pad(xr, pad), jnp.pad(xi, pad)
+    nt = bp // L
+    nbuf = min(_SK_NBUF, nt)
+    hbm = pl.BlockSpec(memory_space=pltpu.HBM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_stockham_manual_kernel, n, L, nt, nbuf,
+                          -1.0 if sign < 0 else 1.0),
+        in_specs=[hbm, hbm],
+        out_specs=(hbm, hbm),
+        out_shape=(jax.ShapeDtypeStruct((bp, n), dt),
+                   jax.ShapeDtypeStruct((bp, n), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, L, n), dt), pltpu.VMEM((nbuf, L, n), dt),
+            pltpu.VMEM((nbuf, L, n), dt), pltpu.VMEM((nbuf, L, n), dt),
+            pltpu.SemaphoreType.DMA((nbuf,)), pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)), pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),

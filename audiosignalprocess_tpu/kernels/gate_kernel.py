@@ -35,6 +35,7 @@ from audiosignalprocess_tpu.kernels.fft_kernel import (
     check_kernel_dtype,
     _interpret,
     _grid_split, fourstep_grid_fwd, fourstep_grid_inv_real, grid_table_arrays,
+    grid_post_tables,
     hbm_fetch_rows,
     vmem_tile_cap,
 )
@@ -119,7 +120,7 @@ def ola_rows(y, spill, mf, hr, dr, n2):
 def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att,
                  release,
                  x_hbm, floor_ref, wgrid, inv_norm, valid_ref,
-                 c1, s1, c2, s2, tbc, tbs,
+                 c1, s1, c2, s2, tbc, tbs, c2p, s2p,
                  o_ref, win, spill, rel, sem):
     """Grid (batch_tiles, frame_tiles); row space (rows of n2 samples):
     hr = hop rows, nr = nfft rows (== n1), dr = (nfft-hop) rows."""
@@ -170,8 +171,11 @@ def _gate_kernel(hr, nr, dr, mf, nt, n1, n2, thresh_gain, att,
             rows.append(state)
         rel[:] = state
         mask = jnp.stack(rows, axis=1)
+    # synthesis inverse is POST-decision (family "gpost": 3-pass under
+    # the default gpre pin — see fft_kernel._PIN_DEFAULT)
     y = fourstep_grid_inv_real(sr * mask, si * mask, n1, n2,
-                               c1[:], s1[:], c2[:], s2[:], tbc[:], tbs[:]) * wv
+                               c1[:], s1[:], c2p[:], s2p[:],
+                               tbc[:], tbs[:]) * wv
     # invalid frames (past the last whole frame — the oracle has no
     # partial frames — or, on the sharded path, past the global EOF) are
     # padding that still overlaps real samples — zero their contributions
@@ -268,7 +272,11 @@ def _gate_call(xp3, floor, valid, inv_norm, wv_np, nfft, hop, threshold_db,
     bp = xp3.shape[0]
     wfetch = hbm_fetch_rows(mf * hr + dr, n2)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2))
+    # analysis forward tables are PRE-decision (family "gpre", pinned by
+    # default); the synthesis inverse gets its own pair ("gpost")
+    tabs = grid_table_arrays(nfft, dt, (n1, n2), family="gpre")
+    tabs = tabs + grid_post_tables(nfft, dt, (n1, n2), pre_tabs=tabs,
+                                   family="gpost", pre_family="gpre")
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 
@@ -540,7 +548,7 @@ def gate_step_rows(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
 def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
                       tail_ref, x_ref, fr_ref, fi_ref, fs_ref, ot_ref,
                       rel_ref, valid_ref, take_ref, inorm_ref, wgrid,
-                      c1, s1, c2, s2, tbc, tbs,
+                      c1, s1, c2, s2, tbc, tbs, c2p, s2p,
                       y_ref, fro_ref, fio_ref, fso_ref, oto_ref, relo_ref):
     ext = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)  # (tb, dr+br, n2)
     y_ref[:] = gate_step_rows(
@@ -548,7 +556,7 @@ def _gate_step_kernel(m, hr, nr, dr, n1, n2, nf, thresh_gain, att, release,
         fr_ref, fi_ref, fs_ref, ot_ref, rel_ref,
         valid_ref, take_ref, inorm_ref, wgrid,
         c1, s1, c2, s2, tbc, tbs,
-        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref)
+        fro_ref, fio_ref, fso_ref, oto_ref, relo_ref, c2p=c2p, s2p=s2p)
 
 
 def gate_step_fused(
@@ -610,7 +618,11 @@ def gate_step_fused(
 
     wv_np = oracle.window(window_kind, nfft, periodic=True)
     wgrid = jnp.asarray(wv_np.reshape(n1, n2), dt)
-    tabs = grid_table_arrays(nfft, dt, (n1, n2))
+    # pre-decision analysis tables (family "gpre", default-pinned) + the
+    # post-decision synthesis pair ("gpost")
+    tabs = grid_table_arrays(nfft, dt, (n1, n2), family="gpre")
+    tabs = tabs + grid_post_tables(nfft, dt, (n1, n2), pre_tabs=tabs,
+                                   family="gpost", pre_family="gpre")
     thresh_gain = float(10.0 ** (threshold_db / 20.0))
     att = float(10.0 ** (-reduction_db / 20.0))
 

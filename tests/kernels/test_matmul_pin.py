@@ -79,25 +79,40 @@ def test_composite_default_pin(monkeypatch):
     t = np.linspace(-1, 1, 16).reshape(4, 4)
 
     monkeypatch.delenv("ASP_MATMUL_PIN", raising=False)
-    # default: pre-decision grid tables AND the resample phase
-    # matrices pinned (which family flips the gate is data-dependent)
-    assert fft_kernel._matmul_pin() == frozenset({"cfftpre", "res"})
+    # default: pre-decision grid tables (composite, standalone gate,
+    # vocoder analysis) AND the resample phase matrices pinned (which
+    # family flips the gate is data-dependent; the vocoder's recursion
+    # integrates analysis noise — docs/PERF.md rounds 4-5)
+    assert fft_kernel._matmul_pin() == frozenset(
+        {"cfftpre", "res", "gpre", "vfft"})
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
     assert fft_kernel._tab(t, np.float32, "fft").dtype == jnp.bfloat16
+    assert fft_kernel._tab(t, np.float32, "gpre").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "gpost").dtype == jnp.bfloat16
+    assert fft_kernel._tab(t, np.float32, "vfft").dtype == jnp.float32
+    assert fft_kernel._tab(t, np.float32, "vfft_post").dtype == jnp.bfloat16
     assert not fft_kernel._use_bf16x3(np.float32, "res")
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "cfft")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.float32
+    # cfft is composite-scoped: gate/vocoder families fall back to 3-pass
+    assert fft_kernel._tab(t, np.float32, "gpre").dtype == jnp.bfloat16
+    assert fft_kernel._tab(t, np.float32, "vfft").dtype == jnp.bfloat16
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "fft")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.float32
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.float32
+    # the global fft pin covers every grid-table family, post pairs too
+    for fam in ("gpre", "gpost", "vfft", "vfft_post"):
+        assert fft_kernel._tab(t, np.float32, fam).dtype == jnp.float32
 
     monkeypatch.setenv("ASP_MATMUL_PIN", "none")
     assert fft_kernel._tab(t, np.float32, "cfft").dtype == jnp.bfloat16
     assert fft_kernel._tab(t, np.float32, "cfft_post").dtype == jnp.bfloat16
+    for fam in ("gpre", "gpost", "vfft", "vfft_post"):
+        assert fft_kernel._tab(t, np.float32, fam).dtype == jnp.bfloat16
 
 
 def test_stream_eq_full_under_shipping_precision(rng):

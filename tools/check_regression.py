@@ -71,10 +71,22 @@ def main():
     findings = []
     compared = {}
 
-    def base_for(kind, ext="json"):
+    def base_for(kind, ext="json", cur_exists=True):
         b = args.against if args.against is not None else prev_round(
             kind, ext, n)
-        return (load(f"{kind}_r{b:02d}.{ext}"), b) if b else (None, None)
+        if not b:
+            return None, None
+        rec = load(f"{kind}_r{b:02d}.{ext}")
+        # an EXPLICIT --against whose baseline record does not exist must
+        # be a finding, not a silent skip: a typoed round number would
+        # otherwise make a regressing round read as clean
+        if rec is None and args.against is not None and cur_exists:
+            findings.append({"record": kind, "key": "baseline_missing",
+                             "against": b,
+                             "note": f"--against {b} given but "
+                                     f"{kind}_r{b:02d}.{ext} is absent/"
+                                     "unreadable — comparison skipped"})
+        return rec, b
 
     def is_snr(v):
         # bools are ints in Python: exclude pass flags from numeric
@@ -111,6 +123,12 @@ def main():
     bg = args.against if args.against is not None else prev_round(
         "geomsweep", "jsonl", n)
     prevg = load(f"geomsweep_r{bg:02d}.jsonl") if bg else None
+    if bg and prevg is None and args.against is not None and curg:
+        findings.append({"record": "geomsweep", "key": "baseline_missing",
+                         "against": bg,
+                         "note": f"--against {bg} given but "
+                                 f"geomsweep_r{bg:02d}.jsonl is absent/"
+                                 "unreadable — comparison skipped"})
     if curg:
         for r in curg:
             if "case" in r and not r.get("pass", True):
@@ -205,6 +223,13 @@ def main():
                 by_round[int(m_.group(1))] = os.path.basename(c)
         want = args.against if args.against is not None else \
             (max(by_round) if by_round else None)
+        if want is not None and want not in by_round \
+                and args.against is not None:
+            findings.append({"record": "soak", "key": "baseline_missing",
+                             "against": want,
+                             "note": f"--against {want} given but no "
+                                     f"soak_r{want:02d}_bf16x3.json — "
+                                     "comparison skipped"})
         if want in by_round:
             prev = load(by_round[want])
             if prev:

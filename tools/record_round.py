@@ -2,12 +2,12 @@
 """Per-round machine-readable perf records (VERDICT r3 items 5/6/8).
 
 Writes, for round N:
-  docs/records/roofline_rNN.json — >=3 full repetitions (achievable-BW
-    denominator re-measured each rep) of the declared operating point
-    (pallas_sk, n=4096, batch=32768) plus the secondary points, with an
-    explicit {"target": 0.8, "raw_frac_median": ..., "pass": bool} gate
-    row.  "raw" = achieved GB/s over the measured-achievable GB/s of the
-    SAME rep, no floor subtraction on either side.
+  docs/records/roofline_rNN.json — the PAIRED protocol (round 5): >= 12
+    repetitions of the declared operating point (pallas_sk, n=4096,
+    batch=32768), each bracketed by its OWN achievable-BW probe; the
+    gate row pools the per-rep ratios kernel/mean(probe_pre, probe_post)
+    with a slot-health floor (probe < 50 GB/s = contaminated, recorded
+    but excluded).  No floor subtraction on either side.
   docs/records/bench_rNN.json — headline bench modes x >=3 reps each,
     min/median/max (the chip is time-shared; a single-shot number cannot
     distinguish a real ~5%% regression from slot noise).
@@ -53,6 +53,14 @@ def write(path, obj):
 
 
 def do_roofline(reps: int):
+    """PAIRED protocol (round 5, VERDICT r4 item 1b): every kernel rep is
+    bracketed by its own achievable-bandwidth probe and the recorded
+    ratio is kernel_gbps / mean(probe_pre, probe_post) — a co-tenant
+    burst during the rep hits both sides of the SAME ratio instead of a
+    denominator measured minutes away.  The gate is the pooled median of
+    >= 12 paired ratios.  A slot-health floor (probe < 50 GB/s) marks a
+    rep contaminated; contaminated reps are recorded but excluded from
+    the pooled median (exclusions visible in the record)."""
     import jax
 
     from benchmarks.roofline import (
@@ -60,31 +68,42 @@ def do_roofline(reps: int):
     )
     from audiosignalprocess_tpu.utils.metrics import detect_chip
 
+    health_min = 50.0
     chip = detect_chip()
+    floor_ms = measure_iteration_floor_ms()
     out = {"backend": jax.default_backend(), "chip": chip.name,
-           "spec_gbps": chip.hbm_gbps, "operating_point": OP, "reps": []}
+           "spec_gbps": chip.hbm_gbps, "operating_point": OP,
+           "protocol": "paired", "health_min_gbps": health_min,
+           "iteration_floor_ms": round(floor_ms, 3), "reps": []}
     fracs = []
     for rep in range(reps):
-        floor_ms = measure_iteration_floor_ms()
-        meas, _meas_m = measure_achievable_gbps(floor_ms=floor_ms)
-        rrec = {"iteration_floor_ms": round(floor_ms, 3),
-                "achievable_gbps": round(meas, 1), "points": []}
+        pre, _ = measure_achievable_gbps(floor_ms=floor_ms)
+        rrec = {"probe_pre_gbps": round(pre, 1), "points": []}
         for pt in [OP] + SECONDARY:
             dt, gflops, gbps = bench_fft(pt["impl"], pt["batch"], pt["n"])
-            raw = gbps / meas
             rrec["points"].append({**pt, "ms": round(dt * 1e3, 3),
-                                   "hbm_gbps": round(gbps, 1),
-                                   "raw_frac": round(raw, 3)})
+                                   "hbm_gbps": round(gbps, 1)})
             if pt == OP:
-                fracs.append(raw)
+                op_gbps = gbps
+        post, _ = measure_achievable_gbps(floor_ms=floor_ms)
+        paired = op_gbps / (0.5 * (pre + post))
+        clean = min(pre, post) >= health_min
+        rrec.update({"probe_post_gbps": round(post, 1),
+                     "paired_frac": round(paired, 3), "clean": clean})
+        if clean:
+            fracs.append(paired)
         out["reps"].append(rrec)
         print(json.dumps(rrec), flush=True)
-    med = statistics.median(fracs)
-    out["gate"] = {"target": 0.8,
-                   "raw_frac_min": round(min(fracs), 3),
+    med = statistics.median(fracs) if fracs else 0.0
+    out["gate"] = {"target": 0.8, "protocol": "paired",
+                   "pooled_reps": len(fracs),
+                   "rejected_reps": reps - len(fracs),
+                   "paired_frac_min": round(min(fracs), 3) if fracs else None,
+                   "paired_frac_median": round(med, 3),
+                   "paired_frac_max": round(max(fracs), 3) if fracs else None,
+                   # legacy key so check_regression diffs r4 -> r5
                    "raw_frac_median": round(med, 3),
-                   "raw_frac_max": round(max(fracs), 3),
-                   "pass": bool(med >= 0.8)}
+                   "pass": bool(med >= 0.8 and len(fracs) >= 3)}
     print(json.dumps(out["gate"]), flush=True)
     return out
 
@@ -143,6 +162,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--round", type=int, required=True)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--roofline-reps", type=int, default=12,
+                   help="paired roofline reps (>= 12 per the r5 protocol)")
     p.add_argument("--skip", default="")
     args = p.parse_args()
     skip = set(args.skip.split(","))
@@ -151,7 +172,7 @@ def main():
 
     if "roofline" not in skip:
         write(os.path.join(RECORDS, f"roofline_{tag}.json"),
-              do_roofline(args.reps))
+              do_roofline(args.roofline_reps))
     if "bench" not in skip:
         write(os.path.join(RECORDS, f"bench_{tag}.json"), do_bench(args.reps))
     if "configs" not in skip:

@@ -250,21 +250,115 @@ def main():
         else:
             os.environ["ASP_MATMUL_MODE"] = prev_mode
 
+    # ---- second data regime (VERDICT r4 item 6): the gate-decision
+    # kernels' SNR is INPUT-dependent (the round-4 pin A/B measured 26 dB
+    # of spread between seeds from identical code), so every
+    # decision-bearing row is re-measured on the geomsweep-class regime
+    # (seed 5, quiet noise + a mid-file tone burst at n//4..n//2) and
+    # recorded as "<kernel>__seedB" — check_regression.py diffs the
+    # seedB rows like any other row, so both regimes are regression-gated.
+    rngb = np.random.default_rng(5)
+
+    def burst(channels, n, amp=0.01, f=440.0, fs=48000):
+        xb = (amp * rngb.standard_normal((channels, n))).astype(np.float32)
+        lo, hi = n // 4, n // 2
+        xb[:, lo:hi] += np.sin(
+            2 * np.pi * f * np.arange(hi - lo) / fs).astype(np.float32)
+        return xb
+
+    xgb = burst(4, 48128)
+    ogb = np.asarray(jax.jit(lambda v: noise_gate_fused(v))(xgb))
+    rgb = np.stack([oracle.noise_gate(xgb[i].astype(np.float64))
+                    for i in range(4)])
+    results["noise_gate_fused__seedB"] = round(
+        oracle.snr_db(rgb, ogb[:, : rgb.shape[-1]]), 1)
+
+    ocb = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(v, h))(xgb))
+    rcb = np.stack([
+        oracle.noise_gate(oracle.fir_direct(xgb[i].astype(np.float64), h))
+        for i in range(4)
+    ])
+    results["fir_noise_gate_fused__seedB"] = round(oracle.snr_db(rcb, ocb), 1)
+
+    xr5b = burst(2, 147 * 160 * 2, fs=44100)
+    o5b = np.asarray(jax.jit(
+        lambda v: resample_fir_gate_fused(v, 160, 147, h, noise_frames=4))(xr5b))
+    r5b = np.stack([
+        oracle.noise_gate(oracle.fir_direct(
+            oracle.resample_poly(xr5b[i].astype(np.float64), 160, 147,
+                                 zero_phase=False), h), noise_frames=4)
+        for i in range(2)
+    ])
+    results["resample_fir_gate_fused__seedB"] = round(
+        oracle.snr_db(r5b, o5b), 1)
+
+    xstb = burst(2, 8192)
+    chain_b = Chain([GateStage(noise_frames=4, fused=True)])
+    lat_b = chain_b.build()
+    ystb = np.asarray(jax.jit(lambda v: chain_b.stream(v, 1024))(xstb))[:, lat_b:]
+    rstb = np.stack([oracle.noise_gate(xstb[i].astype(np.float64),
+                                       noise_frames=4) for i in range(2)])
+    nstb = min(ystb.shape[-1], rstb.shape[-1])
+    results["gate_step_fused__seedB"] = round(
+        oracle.snr_db(rstb[:, :nstb], ystb[:, :nstb]), 1)
+
+    fgb = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
+    latfb = fgb.build()
+    yfgb = np.asarray(jax.jit(lambda v: fgb.stream(v, 1024))(xstb))[:, latfb:]
+    rfgb = np.stack([
+        oracle.noise_gate(oracle.fir_direct(xstb[i].astype(np.float64), h),
+                          noise_frames=4) for i in range(2)
+    ])
+    nfgb = min(yfgb.shape[-1], rfgb.shape[-1])
+    results["fir_gate_step_fused__seedB"] = round(
+        oracle.snr_db(rfgb[:, :nfgb], yfgb[:, :nfgb]), 1)
+
+    xr5sb = burst(2, b_in * 5, fs=44100)
+    rcb2 = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                  noise_frames=4)])
+    latrb = rcb2.build()
+    yr5b = np.asarray(jax.jit(lambda v: rcb2.stream(v, b_in))(xr5sb))[:, latrb:]
+    rr5b = np.stack([
+        oracle.noise_gate(
+            oracle.fir_direct(
+                oracle.resample_poly(xr5sb[i].astype(np.float64), 160, 147,
+                                     zero_phase=False), h),
+            noise_frames=4) for i in range(2)
+    ])
+    nr5b = min(yr5b.shape[-1], rr5b.shape[-1])
+    results["res_fir_gate_step_fused__seedB"] = round(
+        oracle.snr_db(rr5b[:, :nr5b], yr5b[:, :nr5b]), 1)
+
+    rceb = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                  noise_frames=4, env_h=he)])
+    latreb = rceb.build()
+    yreb = np.asarray(jax.jit(lambda v: rceb.stream(v, b_in))(xr5sb))[:, latreb:]
+    rreb = np.stack([
+        oracle.fir_direct(np.abs(rr5b[i]), he) * (np.pi / 2.0)
+        for i in range(2)
+    ])
+    nreb = min(yreb.shape[-1], rreb.shape[-1])
+    results["res_fir_gate_env_step_fused__seedB"] = round(
+        oracle.snr_db(rreb[:, :nreb], yreb[:, :nreb]), 1)
+
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
     print(json.dumps(results))
     sys.exit(0 if ok else 1)
 
 
-def soak(p: int = 4, q: int = 3):
-    """Long-stream vocoder soak at SHIPPING defaults (VERDICT r2 item 5):
-    128 drained blocks of stretch_step_fused at the kernel's default
-    matmul precision (bf16x3 on hardware) vs the float64 oracle
-    (oracle.time_stretch), with the HIGHEST-precision jnp stream as the
-    control.  Reports per-16-block segment SNRs so accumulated rotor
-    drift (the phase accumulator is a running product across the whole
-    stream) is visible, and gates on the fused stream's overall SNR
-    >= 60 dB.  Run: python tools/tpu_selfcheck.py --soak [P Q]
+def soak(p: int = 4, q: int = 3, nblocks: int = 128, json_out=None):
+    """Long-stream vocoder soak at SHIPPING defaults (VERDICT r2 item 5;
+    extended to arbitrary lengths for VERDICT r4 item 2): ``nblocks``
+    drained blocks of stretch_step_fused at the kernel's default
+    matmul precision (bf16x3 + the vfft analysis pin on hardware) vs
+    the float64 oracle (oracle.time_stretch), with the HIGHEST-precision
+    jnp stream as the control.  Reports 8 per-segment SNRs so
+    accumulated rotor drift (the phase accumulator integrates analysis
+    noise as a random walk — docs/PERF.md round-5 soak analysis) is
+    visible, and gates on the fused stream's overall SNR >= 60 dB.
+    Run: python tools/tpu_selfcheck.py --soak [P Q] [--blocks N]
+    [--json-out PATH]
     (block must keep frames*q % p == 0: 2048/256-hop frames = 8/block,
     so p in {2, 4, 8} works at the default block; pass a ratio whose p
     divides 8*q)."""
@@ -273,7 +367,7 @@ def soak(p: int = 4, q: int = 3):
     from audiosignalprocess_tpu.cpu_ref import oracle
     from audiosignalprocess_tpu.pipeline import Chain, StretchStage
 
-    block, nblocks = 2048, 128
+    block = 2048
     n = block * nblocks
     rng = np.random.default_rng(11)
     t = np.arange(n) / 48000.0
@@ -308,16 +402,113 @@ def soak(p: int = 4, q: int = 3):
     ok = results["fused_bf16x3_overall_db"] >= 60.0
     results["pass_60db"] = bool(ok)
     print(json.dumps(results))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+    sys.exit(0 if ok else 1)
+
+
+def soak_composite(nblocks: int = 128, json_out=None):
+    """Long-stream soak of the COMPOSITE config-5 chain (VERDICT r4 item
+    8): ``nblocks`` drained blocks of the one-kernel-per-block
+    resample+FIR+gate+envelope step (pipeline.ResFIRGateStage with
+    env_h) at shipping precision vs the float64 oracle chain, on BOTH
+    measured gate-flip data regimes (the selfcheck seed and the
+    geomsweep-class seed — round 4 proved the flip mechanism is
+    data-dependent).  Reports 8 per-segment SNRs per regime; unlike the
+    vocoder there is no cross-block recursion here (carries are FIFO
+    tails), so the expected signature is a FLAT segment profile — a
+    slope would indicate an unknown accumulating carry error.
+    Run: python tools/tpu_selfcheck.py --soak-composite [--blocks N]
+    [--json-out PATH]"""
+    import jax
+
+    from audiosignalprocess_tpu.cpu_ref import oracle
+    from audiosignalprocess_tpu.pipeline import Chain, ResFIRGateStage
+
+    b_in = 2 * 588  # one supercycle pair of 160/147 at n2=128
+    n = b_in * nblocks
+    h = oracle.design_fir(64, 0.3)
+    he = oracle.design_fir(129, 0.05)
+    results = {"backend": jax.default_backend(), "blocks": nblocks,
+               "block_in": b_in}
+
+    for tag, seed, burst in (("seedA", 11, (0.25, 0.5)),
+                             ("seedB", 5, (0.25, 0.5))):
+        rng = np.random.default_rng(seed)
+        x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+        lo, hi = int(n * burst[0]), int(n * burst[1])
+        x[:, lo:hi] += np.sin(
+            2 * np.pi * 440 * np.arange(hi - lo) / 44100).astype(np.float32)
+        chain = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024,
+                                       hop=256, noise_frames=4, env_h=he)])
+        chain.build()
+        # drain=True emits exactly out_len(n) samples aligned from
+        # sample 0 (latency already flushed) — no lat trim
+        y = np.asarray(jax.jit(
+            lambda v: chain.stream(v, b_in, drain=True))(x))
+        base = np.stack([
+            oracle.noise_gate(
+                oracle.fir_direct(
+                    oracle.resample_poly(x[i].astype(np.float64), 160, 147,
+                                         zero_phase=False), h),
+                noise_frames=4) for i in range(2)
+        ])
+        ref = np.stack([
+            oracle.fir_direct(np.abs(base[i]), he) * (np.pi / 2.0)
+            for i in range(2)
+        ])
+        m = min(y.shape[-1], ref.shape[-1])
+        seg = m // 8
+        segs = [round(oracle.snr_db(ref[:, s * seg:(s + 1) * seg],
+                                    y[:, s * seg:(s + 1) * seg]
+                                    .astype(np.float64)), 1)
+                for s in range(8)]
+        results[tag + "_segments_db"] = segs
+        results[tag + "_overall_db"] = round(
+            oracle.snr_db(ref[:, :m], y[:, :m].astype(np.float64)), 1)
+        print(json.dumps({tag: results[tag + "_overall_db"],
+                          "segments": segs}), flush=True)
+
+    ok = all(results[t + "_overall_db"] >= 60.0 for t in ("seedA", "seedB"))
+    results["pass_60db"] = bool(ok)
+    print(json.dumps(results))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
     sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
-    if "--soak" in sys.argv:
-        rest = [a for a in sys.argv[sys.argv.index("--soak") + 1:]
+    if "--soak-composite" in sys.argv:
+        blocks = 128
+        if "--blocks" in sys.argv:
+            blocks = int(sys.argv[sys.argv.index("--blocks") + 1])
+        json_out = None
+        if "--json-out" in sys.argv:
+            json_out = sys.argv[sys.argv.index("--json-out") + 1]
+        soak_composite(nblocks=blocks, json_out=json_out)
+    elif "--soak" in sys.argv:
+        blocks = 128
+        if "--blocks" in sys.argv:
+            blocks = int(sys.argv[sys.argv.index("--blocks") + 1])
+        json_out = None
+        if "--json-out" in sys.argv:
+            json_out = sys.argv[sys.argv.index("--json-out") + 1]
+        drop = set()
+        for flag in ("--blocks", "--json-out"):
+            if flag in sys.argv:
+                k = sys.argv.index(flag)
+                drop.update({k, k + 1})
+        args = [a for i, a in enumerate(sys.argv) if i not in drop]
+        rest = [a for a in args[args.index("--soak") + 1:]
                 if not a.startswith("-")]
         if len(rest) >= 2:
-            soak(int(rest[0]), int(rest[1]))
+            soak(int(rest[0]), int(rest[1]), nblocks=blocks,
+                 json_out=json_out)
         else:
-            soak()
+            soak(nblocks=blocks, json_out=json_out)
     else:
         main()
