@@ -1277,7 +1277,11 @@ def fft_stockham_manual(xr: jnp.ndarray, xi: jnp.ndarray, sign: float):
     check(n & (n - 1) == 0 and n >= 2, "power-of-two n >= 2 required")
     check_kernel_dtype(xr.dtype)
     dt = xr.dtype
-    L = _sk_rows(n, np.dtype(dt).itemsize)
+    # the 4 NBUF-deep rings + the stage temporaries must fit the 100 MB
+    # scoped-VMEM limit together: L=256 at n=4096 f32 was measured to
+    # exceed it by 3.4 MB (Mosaic OOM at AOT), and L beyond 128 buys
+    # nothing anyway (the grid kernel's measured tile invariance)
+    L = min(_sk_rows(n, np.dtype(dt).itemsize), 128)
     bp = -(-b // L) * L
     if bp != b:
         pad = ((0, bp - b), (0, 0))

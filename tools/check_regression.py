@@ -263,10 +263,28 @@ def main():
                          "error": e["error"],
                          "note": "empty/corrupt record file — a failed "
                                  "sweep step must not read as clean"})
+
+    # acknowledged regressions: docs/records/acknowledged_rNN.json lists
+    # {"record": ..., "key": ..., "reason": ...} entries for findings
+    # that are EXPECTED this round (e.g. a deliberate accuracy/throughput
+    # trade measured and documented in PERF.md).  Acknowledged findings
+    # stay in the output — visibly, with their reason — but do not fail
+    # the gate; anything unacknowledged still does.
+    acks = load(f"acknowledged_r{n:02d}.json") or []
+    ackmap = {(a.get("record"), a.get("key")): a.get("reason", "")
+              for a in acks}
+    live = []
+    for f in findings:
+        reason = ackmap.get((f.get("record"), f.get("key")))
+        if reason is not None:
+            f["acknowledged"] = reason
+        else:
+            live.append(f)
     print(json.dumps({"round": n, "compared": compared,
                       "findings": findings,
-                      "ok": not findings}, indent=1))
-    sys.exit(1 if findings else 0)
+                      "acknowledged": len(findings) - len(live),
+                      "ok": not live}, indent=1))
+    sys.exit(1 if live else 0)
 
 
 if __name__ == "__main__":

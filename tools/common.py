@@ -53,6 +53,10 @@ def std_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--check", action="store_true", help="verify vs CPU oracle")
     p.add_argument("--bench", action="store_true", help="timed re-runs")
     p.add_argument("--json", action="store_true", help="print metrics as JSON")
+    # second data regime for the per-round records (VERDICT r4 item 6:
+    # gate-decision SNR is input-dependent; one seed can hide 26 dB)
+    p.add_argument("--seed", type=int, default=0,
+                   help="generated-input RNG seed (ignored with --input)")
     # the fused Pallas kernels are the product path (BASELINE.json:5);
     # --no-fused falls back to the plain XLA formulations
     p.add_argument("--no-fused", action="store_true",
@@ -67,8 +71,10 @@ def load_or_make(args, channels: int, rate: int, kind: str = "tone+noise"):
         return x
     import tempfile, os
 
-    path = os.path.join(tempfile.gettempdir(), f"asp_gen_{channels}ch_{rate}.wav")
-    make_test_wav(path, channels, rate, args.seconds, kind)
+    seed = getattr(args, "seed", 0)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"asp_gen_{channels}ch_{rate}_s{seed}.wav")
+    make_test_wav(path, channels, rate, args.seconds, kind, seed=seed)
     x, _ = read_wav(path, dtype=np.float32)
     return x
 

@@ -69,12 +69,32 @@ else
   FAILED=1
 fi
 
-run soak 7200 python tools/tpu_selfcheck.py --soak
+# round 5: soaks run 512 blocks (the long-stream bound, VERDICT r4 #2)
+# at BOTH ratios, plus the drained composite-chain soak (item #8)
+run soak 10800 python tools/tpu_selfcheck.py --soak 4 3 --blocks 512
 SK="$(grep -h '^{' "$OUT/soak.log" | tail -1 || true)"
 if [ -n "$SK" ]; then
   printf '%s\n' "$SK" > "docs/records/soak_${TAG}_bf16x3.json"
 else
   echo "soak produced NO record line — not writing soak_${TAG}_bf16x3.json" >&2
+  FAILED=1
+fi
+
+run soak87 10800 python tools/tpu_selfcheck.py --soak 8 7 --blocks 512
+SK87="$(grep -h '^{' "$OUT/soak87.log" | tail -1 || true)"
+if [ -n "$SK87" ]; then
+  printf '%s\n' "$SK87" > "docs/records/soak_${TAG}_bf16x3_pq87.json"
+else
+  echo "soak87 produced NO record line" >&2
+  FAILED=1
+fi
+
+run soakcomp 10800 python tools/tpu_selfcheck.py --soak-composite --blocks 128
+SKC="$(grep -h '^{' "$OUT/soakcomp.log" | tail -1 || true)"
+if [ -n "$SKC" ]; then
+  printf '%s\n' "$SKC" > "docs/records/soak_${TAG}_composite.json"
+else
+  echo "soak-composite produced NO record line" >&2
   FAILED=1
 fi
 

@@ -128,11 +128,15 @@ def do_bench(reps: int):
 
 
 def do_configs():
+    # two data regimes per config (VERDICT r4 item 6): seed 0 is the
+    # historical row (key "config_N", diffed against earlier rounds by
+    # check_regression); seed 5 is the second regime ("config_N__seedB")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = {"configs": {}}
-    for c in range(1, 6):
+    for c, seed, key in [(c, s, f"config_{c}" + ("" if s == 0 else "__seedB"))
+                         for c in range(1, 6) for s in (0, 5)]:
         cmd = [sys.executable, os.path.join(repo, "tools", f"run_config_{c}.py"),
-               "--check", "--bench", "--json"]
+               "--check", "--bench", "--json", "--seed", str(seed)]
         try:
             res = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=2400, cwd=repo)
@@ -151,8 +155,8 @@ def do_configs():
                        + res.stderr[-300:]}
         except subprocess.TimeoutExpired:
             rec = {"error": "timeout"}
-        out["configs"][f"config_{c}"] = rec
-        print(json.dumps({f"config_{c}": rec}), flush=True)
+        out["configs"][key] = rec
+        print(json.dumps({key: rec}), flush=True)
     snrs = [v.get("snr_db_vs_oracle") for v in out["configs"].values()]
     out["all_pass_60db"] = bool(all(s is not None and s >= 60.0 for s in snrs))
     return out

@@ -59,12 +59,12 @@ def main():
 
     global ARMS
     if args.manual:
+        # the manual form clamps its tile to 128 rows (VMEM: 4 rings x
+        # NBUF deep + stage temporaries; 256 measured OOM at AOT)
         ARMS = [
             {"name": "auto_r128", "dimsem": "parallel", "rows": "128",
              "pipe": "auto"},
             {"name": "manual_r128", "dimsem": "parallel", "rows": "128",
-             "pipe": "manual"},
-            {"name": "manual_r256", "dimsem": "parallel", "rows": "256",
              "pipe": "manual"},
         ]
 
