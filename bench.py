@@ -157,11 +157,14 @@ def bench_fir_stft_chain(
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((channels, n)).astype(dtype))
-    # distinct timed input so an RPC-level result cache (remote/tunneled
-    # execution) cannot serve the warm-up answer again
-    x2 = jnp.asarray(rng.standard_normal((channels, n)).astype(dtype))
 
     float(timed_loop(x))  # compile + warm (host fetch = full sync)
+    # distinct timed input so an RPC-level result cache cannot serve the
+    # warm-up answer again — DERIVED ON-DEVICE and materialized before
+    # t0: the transport defers fresh host-array uploads into the first
+    # consuming call (CLAUDE.md; pease A/B postmortem, docs/KERNELS.md)
+    x2 = x * jnp.asarray(1.000001, dtype)
+    float(jnp.sum(jnp.abs(x2[:, :64])))
     t0 = time.perf_counter()
     checksum = float(timed_loop(x2))
     dt = (time.perf_counter() - t0) / iters

@@ -30,6 +30,12 @@ SNR_DROP_DB = 5.0
 SNR_BOUND_DB = 60.0  # BASELINE.json:5 — an absolute violation is a
                      # finding even with zero cross-round drop
 FALLBACK_TP_DROP = 0.10
+# cross-slot noise floor under a bench band: within-run spread on this
+# chip is routinely <0.1 % while run-to-run slot variance is a few
+# percent (round-5 finding: res_env_step 0.17 % "below" a 0.1 %-wide
+# r4 band in a different slot) — a band tighter than the slot noise
+# must not fire on slot noise
+BAND_NOISE_FRAC = 0.02
 
 _LOAD_ERRORS = []
 
@@ -180,10 +186,12 @@ def main():
             med = cv["median"]
             lo = pv.get("min")
             if lo is not None and len(pv.get("values", [])) > 1:
-                if med < lo:
+                if med < lo * (1 - BAND_NOISE_FRAC):
                     findings.append({"record": "bench", "key": mode,
                                      "prev_band": [pv["min"], pv["max"]],
-                                     "cur_median": med})
+                                     "cur_median": med,
+                                     "note": f"below band floor "
+                                             f"(min x {1 - BAND_NOISE_FRAC})"})
             elif med < pv["median"] * (1 - FALLBACK_TP_DROP):
                 findings.append({"record": "bench", "key": mode,
                                  "prev_median": pv["median"],
@@ -196,10 +204,18 @@ def main():
     if cur and prev:
         compared["ring"] = f"r{n:02d} vs r{b:02d}"
         ps, cs = prev.get("samples_per_s"), cur.get("samples_per_s")
-        if ps and cs and cs < ps * (1 - FALLBACK_TP_DROP):
+        # ring mode is a TRANSPORT measurement first (ring_r04.json's
+        # own note): when the baseline recorded its clean-run spread,
+        # judge against the low edge of that band, not the median
+        vals = prev.get("values_samples_per_s") or []
+        floor = min(vals) * (1 - BAND_NOISE_FRAC) if len(vals) > 1 else (
+            ps * (1 - FALLBACK_TP_DROP) if ps else None)
+        if floor and cs and cs < floor:
             findings.append({"record": "ring", "key": "samples_per_s",
                              "prev": ps, "cur": cs,
-                             "note": "fallback 10% threshold"})
+                             "prev_clean_band": ([min(vals), max(vals)]
+                                                 if vals else None),
+                             "note": "below the baseline clean-run band"})
         psnr, csnr = (prev.get("snr_db_vs_oracle"),
                       cur.get("snr_db_vs_oracle"))
         if psnr is not None and csnr is not None \

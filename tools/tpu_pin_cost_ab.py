@@ -46,7 +46,9 @@ def bench_stretch(iters: int = 10):
     n = 2048 * 64
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
-    x2 = jnp.asarray(rng.standard_normal((16, n)).astype(np.float32))
+    # device-derived timed input (transport defers fresh host uploads
+    # into the consuming call — CLAUDE.md); materialized below after
+    # the warm call
 
     @jax.jit
     def loop(v):
@@ -60,6 +62,8 @@ def bench_stretch(iters: int = 10):
         return jnp.sum(jnp.abs(lax.fori_loop(0, iters, body, v)[:, :256]))
 
     float(loop(x))
+    x2 = x * jnp.float32(1.000001)
+    float(jnp.sum(jnp.abs(x2[:, :64])))
     t0 = time.perf_counter()
     float(loop(x2))
     dt = (time.perf_counter() - t0) / iters

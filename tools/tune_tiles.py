@@ -75,7 +75,11 @@ def main():
     n = (int(args.seconds * 48000) // args.hop) * args.hop
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((args.channels, n)).astype(np.float32))
-    x2 = jnp.asarray(rng.standard_normal((args.channels, n)).astype(np.float32))
+    # timed input derived ON-DEVICE (the transport defers fresh host-array
+    # uploads into the first consuming call — CLAUDE.md gotcha) and
+    # materialized by a scalar fetch before any timing
+    x2 = x * jnp.float32(1.000001)
+    float(jnp.sum(jnp.abs(x2[:, :64])))
 
     def make_fn(tb, mf):
         if args.kernel == "chain":
