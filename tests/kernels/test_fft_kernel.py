@@ -214,6 +214,34 @@ class TestStockhamLanes:
                 jnp.zeros((2, 64), np.float32),
                 jnp.zeros((2, 64), np.float32), -1.0)
 
+    @pytest.mark.parametrize("batch", (100, 300))
+    def test_manual_pipeline_parity(self, rng, batch):
+        """fft_stockham_manual (the explicit multi-buffered DMA form,
+        ASP_SK_PIPE=manual on hardware): same layout contract and
+        parity as the grid form, including ragged batches that pad to
+        fewer tiles than the buffer ring depth (batch=100 -> nt=1 <
+        NBUF) and to a partial final tile (batch=300 -> nt=3).  The
+        interpreter executes the async copies/semaphores, so the ring
+        logic itself is covered in CI; throughput is the on-chip A/B
+        (docs/records/overlap_manual_r05.json)."""
+        import jax.numpy as jnp
+
+        xr = rng.standard_normal((batch, 256)).astype(np.float32)
+        xi = rng.standard_normal((batch, 256)).astype(np.float32)
+        yr, yi = fft_kernel.fft_stockham_manual(jnp.asarray(xr),
+                                                jnp.asarray(xi), -1.0)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert got.shape == (batch, 256)
+        assert oracle.snr_db(
+            np.concatenate([ref.real, ref.imag]),
+            np.concatenate([got.real, got.imag])) >= 100.0
+
+    def test_pipe_validation(self, monkeypatch):
+        monkeypatch.setenv("ASP_SK_PIPE", "bogus")
+        with pytest.raises(ValueError, match="ASP_SK_PIPE"):
+            fft_kernel._sk_pipe()
+
 
 class TestPeaseLanes:
     """Rolled constant-geometry (Pease/Korn-Lambiotte) kernel: one
