@@ -39,7 +39,11 @@ RECORDS = os.path.join(os.path.dirname(os.path.dirname(
 
 # the declared roofline operating point (docs/PERF.md, BASELINE.json:5)
 OP = {"impl": "pallas_sk", "n": 4096, "batch": 32768}
-SECONDARY = [{"impl": "pallas_sk", "n": 1024, "batch": 32768}]
+# batch 65536 = the amortized point (per-iteration relay floor ~2.5 % of
+# the iteration vs ~5 % at the OP); its round-5 paired median was 0.907
+# (roofline_b64k_r05.json) — recorded per rep so future rounds carry it
+SECONDARY = [{"impl": "pallas_sk", "n": 1024, "batch": 32768},
+             {"impl": "pallas_sk", "n": 4096, "batch": 65536}]
 # chain = headline; stream1/res_step = the one-kernel-per-block
 # streaming paths; res_env_step = the entire config-5 chain per block
 BENCH_MODES = ["chain", "stream1", "res_step", "res_env_step"]
