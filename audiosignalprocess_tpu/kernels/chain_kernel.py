@@ -159,9 +159,18 @@ def fir_noise_gate_fused(
     release: float = 0.0,
     window_kind: str = "hann",
     frames_per_step: int = 32,
-    batch_tile: int = 32,
+    batch_tile: int = 8,
 ) -> jnp.ndarray:
     """overlap-save FIR (h, nfft) -> spectral noise gate, fully fused.
+
+    batch_tile default 8 (round 5): interleaved on-chip A/B at the
+    headline geometry (64ch x 10s, 3 reps/arm) measured tb=8 faster
+    than the old tb=32 default BOTH under the default pins (1.559 vs
+    1.475e9 samples/s) and unpinned (1.828 vs 1.715e9) — smaller
+    batch tiles give the two-level grid more pipelinable steps at the
+    same VMEM residency.  tb=16 measured WORSE than both (1.410e9);
+    the relation is not monotonic, so re-sweep (tools/tune_tiles.py)
+    rather than interpolate.
 
     == oracle.noise_gate(oracle.fir_direct(x, h), ...); output length
     nfft + (F-1)*hop.  FIR FFT size == gate nfft (one table set).
