@@ -210,9 +210,11 @@ _GRID_FAMILIES = ("cfft", "cfft_post", "gpre", "gpost", "vfft", "vfft_post")
 def _family_pinned(family: str, pins: frozenset) -> bool:
     """Pin-coverage relation: a broader pin covers the narrower family.
     "fft" covers everything grid-table; "cfft" covers both composite
-    families; "cfftpre" covers only the pre-decision composite tables;
-    "gpre"/"vfft" cover the standalone-gate / vocoder pre-decision
-    tables (their _post partners are only covered by "fft"/"cfft").
+    families (cfft + cfft_post); "cfftpre" covers only the pre-decision
+    composite tables; "gpre"/"vfft" cover the standalone-gate / vocoder
+    pre-decision tables.  The gpost/vfft_post partners are covered ONLY
+    by the global "fft" pin (use ASP_MATMUL_MODE=highest for an
+    everything-accurate experiment).
     (Scope note: the whole-file envelope FIRStage path that follows the
     whole-file composite kernel is family "fft", so a global-
     consistency experiment should use ASP_MATMUL_MODE=highest, not a
@@ -1246,16 +1248,21 @@ def _stockham_manual_kernel(n, L, nt, nbuf, sign,
             d.wait()
         xr = jnp.swapaxes(bufr[slot], 0, 1)  # (n, L)
         xi = jnp.swapaxes(bufi[slot], 0, 1)
-
-        # next tile's fetch rides under this tile's butterfly stages
+        yr, yi = _stockham_stages(xr, xi, n, sign)
+        obufr[slot] = jnp.swapaxes(yr, 0, 1)
+        obufi[slot] = jnp.swapaxes(yi, 0, 1)
+        # tile t+nbuf reuses THIS slot, so its fetch may only start once
+        # every read of bufr/bufi[slot] has retired.  The obufr/obufi
+        # writes above data-depend on all of those reads, and Pallas
+        # keeps ref mutations and DMA starts in program order — starting
+        # the prefetch here (not before the stages) closes the window
+        # where a sunk load could race the incoming copy.  With NBUF=3
+        # the fetch still overlaps tiles t+1 and t+2's compute.
         @pl.when(t + nbuf < nt)
         def _():
             for d in in_dma(slot, t + nbuf):
                 d.start()
 
-        yr, yi = _stockham_stages(xr, xi, n, sign)
-        obufr[slot] = jnp.swapaxes(yr, 0, 1)
-        obufi[slot] = jnp.swapaxes(yi, 0, 1)
         for d in out_dma(slot, t):
             d.start()
         return 0

@@ -103,7 +103,7 @@ def main():
     # --- selfcheck: per-kernel SNRs (absolute bound + cross-round drop
     # + pass-flag flip + kernels that vanished from the record)
     cur = load(f"selfcheck_r{n:02d}.json")
-    prev, b = base_for("selfcheck")
+    prev, b = base_for("selfcheck", cur_exists=cur is not None)
     if cur:
         for k, v in cur.items():
             if is_snr(v) and v < SNR_BOUND_DB:
@@ -157,7 +157,7 @@ def main():
 
     # --- configs: SNR + throughput rows
     cur = load(f"configs_r{n:02d}.json")
-    prev, b = base_for("configs")
+    prev, b = base_for("configs", cur_exists=cur is not None)
     if cur:
         for k, v in cur.get("configs", {}).items():
             s = v.get("snr_db_vs_oracle")
@@ -176,7 +176,7 @@ def main():
 
     # --- bench: median vs previous noise band
     cur = load(f"bench_r{n:02d}.json")
-    prev, b = base_for("bench")
+    prev, b = base_for("bench", cur_exists=cur is not None)
     if cur and prev:
         compared["bench"] = f"r{n:02d} vs r{b:02d}"
         for mode, pv in prev.get("modes", {}).items():
@@ -200,7 +200,7 @@ def main():
 
     # --- ring mode: config-5 ring-driver throughput (measure_round step)
     cur = load(f"ring_r{n:02d}.json")
-    prev, b = base_for("ring")
+    prev, b = base_for("ring", cur_exists=cur is not None)
     if cur and prev:
         compared["ring"] = f"r{n:02d} vs r{b:02d}"
         ps, cs = prev.get("samples_per_s"), cur.get("samples_per_s")
@@ -249,18 +249,32 @@ def main():
         if want in by_round:
             prev = load(by_round[want])
             if prev:
-                compared["soak"] = f"r{n:02d} vs " + by_round[want]
-                pv = prev.get("fused_bf16x3_overall_db")
-                cv = cur.get("fused_bf16x3_overall_db")
-                if pv is not None and cv is not None \
-                        and cv < pv - SNR_DROP_DB:
-                    findings.append({"record": "soak",
-                                     "key": "fused_bf16x3_overall_db",
-                                     "prev_db": pv, "cur_db": cv})
+                # soak SNR falls ~3 dB per stream-length DOUBLING (the
+                # measured sqrt drift law), so overall_db is comparable
+                # only between equal-length soaks.  A length change is
+                # recorded as incomparable, not silently diffed: a real
+                # drift regression must not hide behind a longer (or
+                # shorter) protocol, and a protocol change must not
+                # read as a regression.
+                pb, cb = prev.get("blocks"), cur.get("blocks")
+                if pb != cb:
+                    compared["soak"] = (f"r{n:02d} vs {by_round[want]} "
+                                        f"SKIPPED: block counts differ "
+                                        f"({cb} vs {pb}) — overall_db not "
+                                        "comparable across lengths")
+                else:
+                    compared["soak"] = f"r{n:02d} vs " + by_round[want]
+                    pv = prev.get("fused_bf16x3_overall_db")
+                    cv = cur.get("fused_bf16x3_overall_db")
+                    if pv is not None and cv is not None \
+                            and cv < pv - SNR_DROP_DB:
+                        findings.append({"record": "soak",
+                                         "key": "fused_bf16x3_overall_db",
+                                         "prev_db": pv, "cur_db": cv})
 
     # --- roofline gate
     cur = load(f"roofline_r{n:02d}.json")
-    prev, b = base_for("roofline")
+    prev, b = base_for("roofline", cur_exists=cur is not None)
     if cur:
         gate = cur.get("gate", {})
         if not gate.get("pass"):

@@ -81,22 +81,21 @@ def main():
             print(f"- {k}: snr {v.get('snr_db_vs_oracle')} dB, "
                   f"{v.get('samples_per_s', 0)/1e6:.1f}e6 samples/s e2e")
 
-    for kind in ("soak", ):
-        for suffix in ("bf16x3", "bf16x3_pq87", "composite"):
-            best, path = None, None
-            for q in glob.glob(os.path.join(RECORDS,
-                                            f"soak_r*_{suffix}.json")):
-                m = re.search(r"soak_r(\d+)_", q)
-                if m and (args.round is None or int(m.group(1)) <= args.round):
-                    if best is None or int(m.group(1)) > best:
-                        best, path = int(m.group(1)), q
-            if path:
-                d = load(path)
-                key = [k for k in d if k.endswith("_overall_db")]
-                cells = ", ".join(f"{k}={d[k]}" for k in key)
-                print(f"\n## soak {suffix} (r{best:02d} — canonical): "
-                      f"blocks={d.get('blocks')}, {cells}, "
-                      f"pass={d.get('pass_60db')}")
+    for suffix in ("bf16x3", "bf16x3_pq87", "composite"):
+        best, path = None, None
+        for q in glob.glob(os.path.join(RECORDS,
+                                        f"soak_r*_{suffix}.json")):
+            m = re.search(r"soak_r(\d+)_", q)
+            if m and (args.round is None or int(m.group(1)) <= args.round):
+                if best is None or int(m.group(1)) > best:
+                    best, path = int(m.group(1)), q
+        if path:
+            d = load(path)
+            key = [k for k in d if k.endswith("_overall_db")]
+            cells = ", ".join(f"{k}={d[k]}" for k in key)
+            print(f"\n## soak {suffix} (r{best:02d} — canonical): "
+                  f"blocks={d.get('blocks')}, {cells}, "
+                  f"pass={d.get('pass_60db')}")
 
 
 if __name__ == "__main__":

@@ -71,14 +71,18 @@ def main():
     from audiosignalprocess_tpu.ops.resample import history_len
 
     # measured canonical rate: newest bench record's res_env_step median
+    # (records dir anchored to THIS file, not the cwd, like every
+    # sibling tool — the tool must work from any working directory)
+    records = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "records")
     rate = args.rate
     rate_src = "--rate"
     if rate is None:
         recs = sorted(
-            f for f in os.listdir(os.path.join("docs", "records"))
+            f for f in os.listdir(records)
             if f.startswith("bench_r") and f.endswith(".json"))
         for f in reversed(recs):
-            with open(os.path.join("docs", "records", f)) as fh:
+            with open(os.path.join(records, f)) as fh:
                 d = json.load(fh)
             m = d.get("modes", {}).get("res_env_step")
             if m:

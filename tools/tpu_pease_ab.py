@@ -24,6 +24,14 @@ import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Cold-compile measurement (--mode compile) must not be served by the
+# persistent cache.  This must happen BEFORE anything imports jax (the
+# tools.common import below does, transitively): jax snapshots the env
+# var at import, so a later pop is a no-op.
+if "--mode" in sys.argv and \
+        sys.argv[sys.argv.index("--mode") + 1:][:1] == ["compile"]:
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+
 from tools import common as _common  # noqa: E402,F401  (ASP_FORCE_PLATFORM)
 
 import argparse
@@ -182,25 +190,24 @@ def main():
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
-    # Cold-compile measurement must not be served by the persistent
-    # cache — but ONLY the compile mode disables it.  Round-5 root
-    # cause of the r4/r5 "contended slot" throughput rows: with the
-    # cache disabled, EVERY timed call recompiles through the relay
-    # (~2-30 s) and the per-iter numbers are compile time, not kernel
-    # time — the bracketing slot probes measured healthy while the
-    # rows read 1-3 GB/s (pease_ab_r05.json first run).  Throughput
-    # mode keeps the cache and times warm executables like every other
-    # bench in the tree.
-    if args.mode == "compile":
-        os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
-
+    # ONLY the compile mode disables caching (the env pop happened at
+    # module top, pre-jax-import — see the header comment).  Keeping
+    # the cache ON in throughput mode matters: the r4/r5 garbage rows
+    # were ultimately the transport's deferred host->device upload
+    # landing in the timed call (see measure()), and a disabled cache
+    # adds recompile noise on top.
     import jax
 
     if args.mode == "compile":
         try:
             jax.config.update("jax_enable_compilation_cache", False)
-        except Exception:
-            pass
+        except Exception as e:
+            # a silently-served persistent cache is this tool's whole
+            # failure class: surface the degradation instead of hiding it
+            print(json.dumps({"warning": "could not disable the "
+                              f"in-process compilation cache: {e!r} — "
+                              "cold-compile rows may be warm"}),
+                  flush=True)
 
     sizes = [int(s) for s in args.sizes.split(",")]
     print(json.dumps({"backend": jax.default_backend(), "mode": args.mode,

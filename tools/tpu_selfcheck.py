@@ -5,6 +5,15 @@ TPU (not interpret mode) vs the float64 oracle, >= 60 dB (BASELINE.json:5).
 Run on a chip: python tools/tpu_selfcheck.py
 (Complex arrays are kept planar throughout — some TPU transports do not
 implement complex host<->device transfers.)
+
+Every DECISION-BEARING kernel (gate threshold comparisons) is measured
+on TWO data regimes (VERDICT r4 item 6: the round-4 pin A/B measured
+26 dB of input-dependent spread from identical code): regime A is the
+historical selfcheck data (seed 0, tones at fixed positions — rng draw
+order preserved across rounds so the rows stay comparable), regime B is
+the geomsweep-class data (seed 5, quiet noise + a mid-file burst),
+recorded as "<kernel>__seedB".  Both regimes run the SAME measurement
+code (_decision_rows) so the methodologies cannot silently diverge.
 """
 
 import sys, os
@@ -18,18 +27,123 @@ import json
 import numpy as np
 
 
+def _decision_rows(results, suffix, h, he, b_in, xg, x_comp, x_step,
+                   x_stream):
+    """The seven decision-bearing kernel rows on one data regime.
+
+    xg: (4, 48128) whole-file gate input; x_comp: (2, 147*160*2)
+    whole-file composite input (44.1 kHz); x_step: (2, 8192) streaming
+    gate/FIR+gate input; x_stream: (2, b_in*5) streaming composite
+    input (44.1 kHz)."""
+    import jax
+
+    from audiosignalprocess_tpu.cpu_ref import oracle
+    from audiosignalprocess_tpu.kernels.chain_kernel import (
+        fir_noise_gate_fused,
+    )
+    from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
+    from audiosignalprocess_tpu.kernels.res_chain_kernel import (
+        resample_fir_gate_fused,
+    )
+    from audiosignalprocess_tpu.pipeline import (
+        Chain, FIRGateStage, GateStage, ResFIRGateStage,
+    )
+
+    og = np.asarray(jax.jit(lambda v: noise_gate_fused(v))(xg))
+    rg = np.stack([oracle.noise_gate(xg[i].astype(np.float64))
+                   for i in range(4)])
+    results["noise_gate_fused" + suffix] = round(
+        oracle.snr_db(rg, og[:, : rg.shape[-1]]), 1)
+
+    oc2 = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(v, h))(xg))
+    rc2 = np.stack([
+        oracle.noise_gate(oracle.fir_direct(xg[i].astype(np.float64), h))
+        for i in range(4)
+    ])
+    results["fir_noise_gate_fused" + suffix] = round(
+        oracle.snr_db(rc2, oc2), 1)
+
+    o5 = np.asarray(jax.jit(
+        lambda v: resample_fir_gate_fused(v, 160, 147, h,
+                                          noise_frames=4))(x_comp))
+    r5 = np.stack([
+        oracle.noise_gate(oracle.fir_direct(
+            oracle.resample_poly(x_comp[i].astype(np.float64), 160, 147,
+                                 zero_phase=False), h), noise_frames=4)
+        for i in range(2)
+    ])
+    results["resample_fir_gate_fused" + suffix] = round(
+        oracle.snr_db(r5, o5), 1)
+
+    # fused streaming gate step (pipeline.GateStage fused carry path):
+    # stream 8 blocks through the kernel, compare vs the float64 oracle
+    # whole-file gate over the latency-aligned overlap
+    chain = Chain([GateStage(noise_frames=4, fused=True)])
+    lat = chain.build()
+    yst = np.asarray(jax.jit(lambda v: chain.stream(v, 1024))(x_step))[:, lat:]
+    rst = np.stack([oracle.noise_gate(x_step[i].astype(np.float64),
+                                      noise_frames=4) for i in range(2)])
+    nst = min(yst.shape[-1], rst.shape[-1])
+    results["gate_step_fused" + suffix] = round(
+        oracle.snr_db(rst[:, :nst], yst[:, :nst]), 1)
+
+    # one-kernel streaming FIR+gate step (pipeline.FIRGateStage)
+    fg = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
+    latf = fg.build()
+    yfg = np.asarray(jax.jit(lambda v: fg.stream(v, 1024))(x_step))[:, latf:]
+    rfg = np.stack([
+        oracle.noise_gate(oracle.fir_direct(x_step[i].astype(np.float64), h),
+                          noise_frames=4) for i in range(2)
+    ])
+    nfg = min(yfg.shape[-1], rfg.shape[-1])
+    results["fir_gate_step_fused" + suffix] = round(
+        oracle.snr_db(rfg[:, :nfg], yfg[:, :nfg]), 1)
+
+    # one-kernel streaming resample+FIR+gate step (pipeline.ResFIRGateStage)
+    rc_ = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                 noise_frames=4)])
+    latr = rc_.build()
+    yr5 = np.asarray(jax.jit(
+        lambda v: rc_.stream(v, b_in))(x_stream))[:, latr:]
+    rr5 = np.stack([
+        oracle.noise_gate(
+            oracle.fir_direct(
+                oracle.resample_poly(x_stream[i].astype(np.float64), 160,
+                                     147, zero_phase=False), h),
+            noise_frames=4) for i in range(2)
+    ])
+    nr5 = min(yr5.shape[-1], rr5.shape[-1])
+    results["res_fir_gate_step_fused" + suffix] = round(
+        oracle.snr_db(rr5[:, :nr5], yr5[:, :nr5]), 1)
+
+    # the ENTIRE config-5 chain as one kernel per block (env_h folded:
+    # resample + FIR + gate + envelope demod) vs the f64 oracle chain
+    rce = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
+                                 noise_frames=4, env_h=he)])
+    latre = rce.build()
+    yre = np.asarray(jax.jit(
+        lambda v: rce.stream(v, b_in))(x_stream))[:, latre:]
+    rre = np.stack([
+        oracle.fir_direct(np.abs(rr5[i]), he) * (np.pi / 2.0)
+        for i in range(2)
+    ])
+    nre = min(yre.shape[-1], rre.shape[-1])
+    results["res_fir_gate_env_step_fused" + suffix] = round(
+        oracle.snr_db(rre[:, :nre], yre[:, :nre]), 1)
+
+
 def main():
     import jax
 
     from audiosignalprocess_tpu.cpu_ref import oracle
     from audiosignalprocess_tpu.kernels.fft_kernel import fft_fourstep
     from audiosignalprocess_tpu.kernels.fir_kernel import fir_mac
-    from audiosignalprocess_tpu.kernels.gate_kernel import noise_gate_fused
     from audiosignalprocess_tpu.kernels.os_kernel import overlap_save_fused
     from audiosignalprocess_tpu.kernels.resample_kernel import resample_mac
 
     rng = np.random.default_rng(0)
     h = oracle.design_fir(64, 0.3)
+    he = oracle.design_fir(129, 0.05)
     results = {"backend": jax.default_backend()}
 
     xr_ = rng.standard_normal((16, 1024)).astype(np.float32)
@@ -54,12 +168,11 @@ def main():
     ref = np.stack([oracle.fir_direct(x[i].astype(np.float64), h) for i in range(4)])
     results["overlap_save_fused"] = round(oracle.snr_db(ref, out), 1)
 
+    # regime-A gate input (the historical selfcheck tone layout; the rng
+    # DRAW ORDER here is frozen — rows are diffed across rounds)
     xg = 0.01 * rng.standard_normal((4, 48128)).astype(np.float32)
     xg[:, 16000:32000] += np.sin(
         2 * np.pi * 440 * np.arange(16000) / 48000).astype(np.float32)
-    og = np.asarray(jax.jit(lambda v: noise_gate_fused(v))(xg))
-    rg = np.stack([oracle.noise_gate(xg[i].astype(np.float64)) for i in range(4)])
-    results["noise_gate_fused"] = round(oracle.snr_db(rg, og[:, : rg.shape[-1]]), 1)
 
     xs = rng.standard_normal((2, 14700)).astype(np.float32)
     orr = np.asarray(jax.jit(lambda v: resample_mac(v, 160, 147))(xs))
@@ -73,19 +186,7 @@ def main():
     rf = np.stack([oracle.fir_direct(xf[i].astype(np.float64), h) for i in range(2)])
     results["fir_mac"] = round(oracle.snr_db(rf, off), 1)
 
-    from audiosignalprocess_tpu.kernels.chain_kernel import fir_noise_gate_fused
-
-    oc2 = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(v, h))(xg))
-    rc2 = np.stack([
-        oracle.noise_gate(oracle.fir_direct(xg[i].astype(np.float64), h))
-        for i in range(4)
-    ])
-    results["fir_noise_gate_fused"] = round(oracle.snr_db(rc2, oc2), 1)
-
     from audiosignalprocess_tpu.kernels.fft_kernel import fft_stockham_lanes
-    from audiosignalprocess_tpu.kernels.res_chain_kernel import (
-        resample_fir_gate_fused,
-    )
 
     sr_, si_ = jax.jit(lambda a, b: fft_stockham_lanes(a, b, -1.0))(xr_, xi_)
     sc = np.asarray(sr_) + 1j * np.asarray(si_)
@@ -137,88 +238,19 @@ def main():
     results["irfft_sk_split"] = round(
         oracle.snr_db(xr_.astype(np.float64), backs), 1)
 
-    xr5 = 0.01 * rng.standard_normal((2, 147 * 160 * 2)).astype(np.float32)
-    xr5[:, 8000:30000] += np.sin(
+    # remaining regime-A decision inputs (draw order frozen, see above)
+    x_comp = 0.01 * rng.standard_normal((2, 147 * 160 * 2)).astype(np.float32)
+    x_comp[:, 8000:30000] += np.sin(
         2 * np.pi * 440 * np.arange(22000) / 44100).astype(np.float32)
-    o5 = np.asarray(jax.jit(
-        lambda v: resample_fir_gate_fused(v, 160, 147, h, noise_frames=4))(xr5))
-    r5 = np.stack([
-        oracle.noise_gate(oracle.fir_direct(
-            oracle.resample_poly(xr5[i].astype(np.float64), 160, 147,
-                                 zero_phase=False), h), noise_frames=4)
-        for i in range(2)
-    ])
-    results["resample_fir_gate_fused"] = round(oracle.snr_db(r5, o5), 1)
-
-    # fused streaming gate step (pipeline.GateStage fused carry path):
-    # stream 8 blocks through the kernel, compare vs the float64 oracle
-    # whole-file gate over the latency-aligned overlap
-    from audiosignalprocess_tpu.pipeline import Chain, GateStage
-
-    chain = Chain([GateStage(noise_frames=4, fused=True)])
-    lat = chain.build()
-    xst = 0.01 * rng.standard_normal((2, 8192)).astype(np.float32)
-    xst[:, 2048:6000] += np.sin(
+    x_step = 0.01 * rng.standard_normal((2, 8192)).astype(np.float32)
+    x_step[:, 2048:6000] += np.sin(
         2 * np.pi * 440 * np.arange(3952) / 48000).astype(np.float32)
-    yst = np.asarray(jax.jit(lambda v: chain.stream(v, 1024))(xst))[:, lat:]
-    rst = np.stack([oracle.noise_gate(xst[i].astype(np.float64),
-                                      noise_frames=4) for i in range(2)])
-    nst = min(yst.shape[-1], rst.shape[-1])
-    results["gate_step_fused"] = round(
-        oracle.snr_db(rst[:, :nst], yst[:, :nst]), 1)
-
-    # one-kernel streaming FIR+gate step (pipeline.FIRGateStage):
-    # stream the same blocks, compare vs the f64 oracle chain
-    from audiosignalprocess_tpu.pipeline import FIRGateStage
-
-    fg = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
-    latf = fg.build()
-    yfg = np.asarray(jax.jit(lambda v: fg.stream(v, 1024))(xst))[:, latf:]
-    rfg = np.stack([
-        oracle.noise_gate(oracle.fir_direct(xst[i].astype(np.float64), h),
-                          noise_frames=4) for i in range(2)
-    ])
-    nfg = min(yfg.shape[-1], rfg.shape[-1])
-    results["fir_gate_step_fused"] = round(
-        oracle.snr_db(rfg[:, :nfg], yfg[:, :nfg]), 1)
-
-    # one-kernel streaming resample+FIR+gate step (pipeline.ResFIRGateStage)
-    # vs the f64 oracle chain over the latency-aligned overlap
-    from audiosignalprocess_tpu.pipeline import ResFIRGateStage
-
     b_in = 4 * 588  # 4 supercycles of 160/147 @ n2=128
-    xr5 = 0.01 * rng.standard_normal((2, b_in * 5)).astype(np.float32)
-    xr5[:, 3000:9000] += np.sin(
+    x_stream = 0.01 * rng.standard_normal((2, b_in * 5)).astype(np.float32)
+    x_stream[:, 3000:9000] += np.sin(
         2 * np.pi * 440 * np.arange(6000) / 44100).astype(np.float32)
-    rc = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
-                                noise_frames=4)])
-    latr = rc.build()
-    yr5 = np.asarray(jax.jit(lambda v: rc.stream(v, b_in))(xr5))[:, latr:]
-    rr5 = np.stack([
-        oracle.noise_gate(
-            oracle.fir_direct(
-                oracle.resample_poly(xr5[i].astype(np.float64), 160, 147,
-                                     zero_phase=False), h),
-            noise_frames=4) for i in range(2)
-    ])
-    nr5 = min(yr5.shape[-1], rr5.shape[-1])
-    results["res_fir_gate_step_fused"] = round(
-        oracle.snr_db(rr5[:, :nr5], yr5[:, :nr5]), 1)
 
-    # the ENTIRE config-5 chain as one kernel per block (env_h folded:
-    # resample + FIR + gate + envelope demod) vs the f64 oracle chain
-    he = oracle.design_fir(129, 0.05)
-    rce = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
-                                 noise_frames=4, env_h=he)])
-    latre = rce.build()
-    yre = np.asarray(jax.jit(lambda v: rce.stream(v, b_in))(xr5))[:, latre:]
-    rre = np.stack([
-        oracle.fir_direct(np.abs(rr5[i]), he) * (np.pi / 2.0)
-        for i in range(2)
-    ])
-    nre = min(yre.shape[-1], rre.shape[-1])
-    results["res_fir_gate_env_step_fused"] = round(
-        oracle.snr_db(rre[:, :nre], yre[:, :nre]), 1)
+    _decision_rows(results, "", h, he, b_in, xg, x_comp, x_step, x_stream)
 
     # fused streaming phase-vocoder step (pipeline.StretchStage fused
     # path) vs the jnp streaming step on the same blocks.  The rotor
@@ -229,7 +261,7 @@ def main():
     # ~51 dB through the rotor recursion — measured 84 dB when matched.
     # (Implementation correctness at equal precision is pinned by
     # tests/unit/test_pipeline.py::TestStretchStage on every CI run.)
-    from audiosignalprocess_tpu.pipeline import StretchStage
+    from audiosignalprocess_tpu.pipeline import Chain, StretchStage
 
     prev_mode = os.environ.get("ASP_MATMUL_MODE")
     os.environ["ASP_MATMUL_MODE"] = "highest"
@@ -250,13 +282,7 @@ def main():
         else:
             os.environ["ASP_MATMUL_MODE"] = prev_mode
 
-    # ---- second data regime (VERDICT r4 item 6): the gate-decision
-    # kernels' SNR is INPUT-dependent (the round-4 pin A/B measured 26 dB
-    # of spread between seeds from identical code), so every
-    # decision-bearing row is re-measured on the geomsweep-class regime
-    # (seed 5, quiet noise + a mid-file tone burst at n//4..n//2) and
-    # recorded as "<kernel>__seedB" — check_regression.py diffs the
-    # seedB rows like any other row, so both regimes are regression-gated.
+    # ---- second data regime: the geomsweep-class layout (seed 5)
     rngb = np.random.default_rng(5)
 
     def burst(channels, n, amp=0.01, f=440.0, fs=48000):
@@ -267,79 +293,11 @@ def main():
         return xb
 
     xgb = burst(4, 48128)
-    ogb = np.asarray(jax.jit(lambda v: noise_gate_fused(v))(xgb))
-    rgb = np.stack([oracle.noise_gate(xgb[i].astype(np.float64))
-                    for i in range(4)])
-    results["noise_gate_fused__seedB"] = round(
-        oracle.snr_db(rgb, ogb[:, : rgb.shape[-1]]), 1)
-
-    ocb = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(v, h))(xgb))
-    rcb = np.stack([
-        oracle.noise_gate(oracle.fir_direct(xgb[i].astype(np.float64), h))
-        for i in range(4)
-    ])
-    results["fir_noise_gate_fused__seedB"] = round(oracle.snr_db(rcb, ocb), 1)
-
-    xr5b = burst(2, 147 * 160 * 2, fs=44100)
-    o5b = np.asarray(jax.jit(
-        lambda v: resample_fir_gate_fused(v, 160, 147, h, noise_frames=4))(xr5b))
-    r5b = np.stack([
-        oracle.noise_gate(oracle.fir_direct(
-            oracle.resample_poly(xr5b[i].astype(np.float64), 160, 147,
-                                 zero_phase=False), h), noise_frames=4)
-        for i in range(2)
-    ])
-    results["resample_fir_gate_fused__seedB"] = round(
-        oracle.snr_db(r5b, o5b), 1)
-
-    xstb = burst(2, 8192)
-    chain_b = Chain([GateStage(noise_frames=4, fused=True)])
-    lat_b = chain_b.build()
-    ystb = np.asarray(jax.jit(lambda v: chain_b.stream(v, 1024))(xstb))[:, lat_b:]
-    rstb = np.stack([oracle.noise_gate(xstb[i].astype(np.float64),
-                                       noise_frames=4) for i in range(2)])
-    nstb = min(ystb.shape[-1], rstb.shape[-1])
-    results["gate_step_fused__seedB"] = round(
-        oracle.snr_db(rstb[:, :nstb], ystb[:, :nstb]), 1)
-
-    fgb = Chain([FIRGateStage(h=h, nfft=1024, hop=256, noise_frames=4)])
-    latfb = fgb.build()
-    yfgb = np.asarray(jax.jit(lambda v: fgb.stream(v, 1024))(xstb))[:, latfb:]
-    rfgb = np.stack([
-        oracle.noise_gate(oracle.fir_direct(xstb[i].astype(np.float64), h),
-                          noise_frames=4) for i in range(2)
-    ])
-    nfgb = min(yfgb.shape[-1], rfgb.shape[-1])
-    results["fir_gate_step_fused__seedB"] = round(
-        oracle.snr_db(rfgb[:, :nfgb], yfgb[:, :nfgb]), 1)
-
-    xr5sb = burst(2, b_in * 5, fs=44100)
-    rcb2 = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
-                                  noise_frames=4)])
-    latrb = rcb2.build()
-    yr5b = np.asarray(jax.jit(lambda v: rcb2.stream(v, b_in))(xr5sb))[:, latrb:]
-    rr5b = np.stack([
-        oracle.noise_gate(
-            oracle.fir_direct(
-                oracle.resample_poly(xr5sb[i].astype(np.float64), 160, 147,
-                                     zero_phase=False), h),
-            noise_frames=4) for i in range(2)
-    ])
-    nr5b = min(yr5b.shape[-1], rr5b.shape[-1])
-    results["res_fir_gate_step_fused__seedB"] = round(
-        oracle.snr_db(rr5b[:, :nr5b], yr5b[:, :nr5b]), 1)
-
-    rceb = Chain([ResFIRGateStage(up=160, down=147, h=h, nfft=1024, hop=256,
-                                  noise_frames=4, env_h=he)])
-    latreb = rceb.build()
-    yreb = np.asarray(jax.jit(lambda v: rceb.stream(v, b_in))(xr5sb))[:, latreb:]
-    rreb = np.stack([
-        oracle.fir_direct(np.abs(rr5b[i]), he) * (np.pi / 2.0)
-        for i in range(2)
-    ])
-    nreb = min(yreb.shape[-1], rreb.shape[-1])
-    results["res_fir_gate_env_step_fused__seedB"] = round(
-        oracle.snr_db(rreb[:, :nreb], yreb[:, :nreb]), 1)
+    x_comp_b = burst(2, 147 * 160 * 2, fs=44100)
+    x_step_b = burst(2, 8192)
+    x_stream_b = burst(2, b_in * 5, fs=44100)
+    _decision_rows(results, "__seedB", h, he, b_in, xgb, x_comp_b,
+                   x_step_b, x_stream_b)
 
     ok = all(v >= 60.0 for k, v in results.items() if k != "backend")
     results["all_pass_60db"] = ok
