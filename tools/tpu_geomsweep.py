@@ -215,6 +215,40 @@ def main():
         else:
             os.environ["ASP_MATMUL_MODE"] = prev_mode
 
+    # --- the whole-file fused FIR->gate CHAIN kernel (the headline
+    # kernel, round 5) across (taps, nfft, hop).  Placed LAST so the
+    # shared rng stream feeding every earlier case keeps its
+    # historical draw order — inserting mid-sweep was measured to
+    # shift the composite case's data and swing its decision-flip
+    # SNR by 20 dB (the known input sensitivity, not a regression) incl. a taps>hop geometry and a
+    # non-default nfft; exercises the gpre/gpost split tables at every
+    # shape
+    from audiosignalprocess_tpu.kernels.chain_kernel import (
+        fir_noise_gate_fused,
+    )
+
+    chain_cases = [(64, 1024, 256), (129, 1024, 512)]
+    if not args.quick:
+        chain_cases += [(385, 2048, 512)]
+    for taps, nfft, hop in chain_cases:
+        def case(taps=taps, nfft=nfft, hop=hop):
+            n = nfft + 40 * hop
+            x = (0.01 * rng.standard_normal((2, n))).astype(np.float32)
+            x[:, n // 4: n // 2] += np.sin(
+                2 * np.pi * 0.02 * np.arange(n // 2 - n // 4)
+            ).astype(np.float32)
+            hh = oracle.design_fir(taps, 0.3)
+            ref = np.stack([
+                oracle.noise_gate(oracle.fir_direct(
+                    x[i].astype(np.float64), hh), nfft, hop, noise_frames=4)
+                for i in range(2)
+            ])
+            out = np.asarray(jax.jit(lambda v: fir_noise_gate_fused(
+                v, hh, nfft, hop, noise_frames=4))(x))
+            m = min(ref.shape[-1], out.shape[-1])
+            return oracle.snr_db(ref[..., :m], out[..., :m])
+        run_case(f"chain taps={taps} nfft={nfft} hop={hop}", case, results)
+
     ok = all(r.get("pass") for r in results)
     print(json.dumps({"cases": len(results), "all_pass": ok}), flush=True)
     sys.exit(0 if ok else 1)
